@@ -1,0 +1,96 @@
+"""Device selection and host<->device movement utilities.
+
+TPU-native rework of the reference ``src/vla_fastvlm/device.py`` (priority
+cuda>mps>cpu there, :21-43; recursive batch move :46-56). Here the runtime is
+PJRT: priority is tpu > gpu > cpu, and the same ``FASTVLM_FORCE_DEVICE=cpu``
+escape hatch is honored (reference ``device.py:11,17``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Literal, Optional
+
+import jax
+import numpy as np
+
+DeviceLiteral = Literal["tpu", "gpu", "cuda", "cpu"]
+
+_FORCE_ENV = "FASTVLM_FORCE_DEVICE"
+
+
+def _force_cpu() -> bool:
+    return os.environ.get(_FORCE_ENV, "").lower() == "cpu"
+
+
+def _devices_of(platform: str) -> list[jax.Device]:
+    try:
+        return jax.devices(platform)
+    except RuntimeError:
+        return []
+
+
+def is_tpu_available() -> bool:
+    """True if a TPU backend is available and not disabled via FASTVLM_FORCE_DEVICE."""
+    return bool(_devices_of("tpu")) and not _force_cpu()
+
+
+def is_cuda_available() -> bool:
+    """True if a GPU backend is available (API parity with the reference)."""
+    return bool(_devices_of("gpu")) and not _force_cpu()
+
+
+def is_mps_available() -> bool:
+    """Always False on a JAX/TPU stack; kept for reference API parity."""
+    return False
+
+
+def get_best_device(preferred: Optional[DeviceLiteral] = None) -> jax.Device:
+    """Pick the most capable runtime device.
+
+    Priority (reference ``device.py:21-43`` adapted to PJRT):
+      1. User-provided ``preferred`` platform if available.
+      2. TPU.
+      3. GPU.
+      4. CPU.
+    """
+    if preferred:
+        preferred = preferred.lower()  # type: ignore[assignment]
+        if preferred == "cuda":
+            preferred = "gpu"
+        if preferred in ("tpu", "gpu") and not _force_cpu():
+            devs = _devices_of(preferred)
+            if devs:
+                return devs[0]
+        if preferred == "cpu":
+            return _devices_of("cpu")[0]
+
+    if is_tpu_available():
+        return _devices_of("tpu")[0]
+    if is_cuda_available():
+        return _devices_of("gpu")[0]
+    return _devices_of("cpu")[0]
+
+
+def move_batch_to_device(batch: dict, device: jax.Device) -> dict:
+    """Recursively place array-valued entries of ``batch`` on ``device``.
+
+    Mirrors reference ``device.py:46-56``: dicts are recursed, arrays are moved,
+    everything else (task strings, metadata) passes through untouched.
+    """
+    result: dict = {}
+    for key, value in batch.items():
+        if isinstance(value, dict):
+            result[key] = move_batch_to_device(value, device)
+        elif isinstance(value, (jax.Array, np.ndarray)):
+            result[key] = jax.device_put(value, device)
+        else:
+            result[key] = value
+    return result
+
+
+def tree_to_host(tree: Any) -> Any:
+    """Bring a pytree of device arrays back to host numpy."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )

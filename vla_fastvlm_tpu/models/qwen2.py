@@ -1,0 +1,340 @@
+"""Qwen2 decoder in Flax (linen), TPU-first.
+
+The reference consumes Qwen2 opaquely inside the HF ``llava_qwen2`` checkpoint
+remote code (``fastvlm_adapter.py:185-191``, SURVEY.md L0); here it is
+first-class, with:
+
+- parameter names mirroring the HF checkpoint layout so the safetensors
+  converter (``vla_fastvlm_tpu/io/weights.py``) is a pure transpose/stack map,
+- GQA attention with RoPE and an explicit functional KV cache,
+- ``nn.scan`` over layers (stacked params -> one compiled layer body; fast XLA
+  compiles and a natural (num_layers, ...) leading axis for sharding),
+- fp32 softmax / RMSNorm internals for bit-comparable features at fp32 and
+  stable bf16 training,
+- a hook for the Pallas flash-attention kernel on the jitted TPU hot path.
+
+Numerics are validated against ``transformers.Qwen2ForCausalLM`` in
+``tests/test_qwen2_parity.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, make_attention_bias
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 14
+    num_key_value_heads: int = 2
+    intermediate_size: int = 4864
+    head_dim: Optional[int] = None
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 32768
+    # runtime knobs (not part of the checkpoint contract)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    scan_layers: bool = True
+    remat: bool = False
+    attention_impl: str = "auto"  # "auto" | "xla" | "flash"
+
+    @property
+    def resolved_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    def replace(self, **kw) -> "Qwen2Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---- presets matching Apple FastVLM's Qwen2 text towers -------------------
+
+def qwen2_0_5b(**kw) -> Qwen2Config:
+    return Qwen2Config(**kw)
+
+
+def qwen2_1_5b(**kw) -> Qwen2Config:
+    return Qwen2Config(
+        hidden_size=1536, num_hidden_layers=28, num_attention_heads=12,
+        num_key_value_heads=2, intermediate_size=8960, **kw,
+    )
+
+
+def qwen2_7b(**kw) -> Qwen2Config:
+    return Qwen2Config(
+        vocab_size=152064, hidden_size=3584, num_hidden_layers=28,
+        num_attention_heads=28, num_key_value_heads=4, intermediate_size=18944,
+        tie_word_embeddings=False, **kw,
+    )
+
+
+def qwen2_tiny(**kw) -> Qwen2Config:
+    """Small config for tests/fixtures (SURVEY.md §4: tiny fake backbone)."""
+    return Qwen2Config(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+        **kw,
+    )
+
+
+# ---- KV cache -------------------------------------------------------------
+
+def init_kv_cache(
+    cfg: Qwen2Config, batch_size: int, max_len: int, dtype: Any | None = None
+) -> dict:
+    """Functional KV cache: stacked per-layer key/value buffers.
+
+    Layout (L, B, S, K, D) so the scanned decoder consumes axis 0 directly.
+    """
+    dtype = dtype or cfg.dtype
+    shape = (
+        cfg.num_hidden_layers,
+        batch_size,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.resolved_head_dim,
+    )
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "mask": jnp.zeros((batch_size, max_len), jnp.bool_),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+class Qwen2Attention(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, bias, cos, sin, cache_k, cache_v, cache_index):
+        cfg = self.cfg
+        b, t, _ = x.shape
+        n, k_heads, d = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.resolved_head_dim,
+        )
+
+        def dense(feats, use_bias, name):
+            return nn.Dense(
+                feats, use_bias=use_bias, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name,
+            )
+
+        q = dense(n * d, True, "q_proj")(x).reshape(b, t, n, d)
+        k = dense(k_heads * d, True, "k_proj")(x).reshape(b, t, k_heads, d)
+        v = dense(k_heads * d, True, "v_proj")(x).reshape(b, t, k_heads, d)
+
+        q, k = apply_rope(q, k, cos, sin)
+
+        if cache_k is not None:
+            k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = (k, v)
+        else:
+            new_cache = (None, None)
+
+        out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias=bias)
+        out = out.reshape(b, t, n * d)
+        out = dense(cfg.hidden_size, False, "o_proj")(out)
+        return out, new_cache
+
+
+class Qwen2MLP(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+
+        def dense(feats, name):
+            return nn.Dense(
+                feats, use_bias=False, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name,
+            )
+
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
+        return rms_norm(x, w, self.eps)
+
+
+class Qwen2Block(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, bias, cos, sin, cache_k, cache_v, cache_index):
+        cfg = self.cfg
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
+                    name="input_layernorm")(x)
+        attn_out, new_cache = Qwen2Attention(cfg, name="self_attn")(
+            h, bias, cos, sin, cache_k, cache_v, cache_index
+        )
+        x = x + attn_out
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
+                    name="post_attention_layernorm")(x)
+        x = x + Qwen2MLP(cfg, name="mlp")(h)
+        return x, new_cache
+
+
+class Qwen2Model(nn.Module):
+    """Decoder stack: embeddings + blocks + final norm.
+
+    Returns post-final-norm hidden states, matching HF's
+    ``outputs.hidden_states[-1]`` which the reference pools
+    (``fastvlm_adapter.py:551-560``). When ``compute_tied_logits`` is set,
+    also returns logits via the (tied) embedding matrix.
+    """
+
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray | None = None,  # (B, T)
+        inputs_embeds: jnp.ndarray | None = None,  # (B, T, H)
+        attention_mask: jnp.ndarray | None = None,  # (B, T) 1 = real token
+        positions: jnp.ndarray | None = None,  # (B, T)
+        cache: dict | None = None,
+        causal: bool = True,
+        compute_tied_logits: bool = False,
+    ):
+        cfg = self.cfg
+        embed = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="embed_tokens",
+        )
+        if inputs_embeds is None:
+            inputs_embeds = embed(input_ids)
+        x = inputs_embeds.astype(cfg.dtype)
+        b, t, _ = x.shape
+
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, t), jnp.int32)
+        if positions is None:
+            base = jnp.arange(t, dtype=jnp.int32)[None, :]
+            if cache is not None:
+                base = base + cache["index"]
+            positions = jnp.broadcast_to(base, (b, t))
+
+        cos, sin = rope_cos_sin(positions, cfg.resolved_head_dim, cfg.rope_theta, cfg.dtype)
+
+        if cache is not None:
+            s = cache["k"].shape[2]
+            kv_mask = jax.lax.dynamic_update_slice(
+                cache["mask"].astype(jnp.int32),
+                attention_mask.astype(jnp.int32),
+                (0, cache["index"]),
+            )
+            kv_positions = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
+            )
+            bias = make_attention_bias(positions, kv_positions, kv_mask, causal=causal)
+            cache_k, cache_v, cache_index = cache["k"], cache["v"], cache["index"]
+        else:
+            kv_mask = attention_mask
+            bias = make_attention_bias(positions, positions, kv_mask, causal=causal)
+            cache_k = cache_v = cache_index = None
+
+        block_cls = Qwen2Block
+        if cfg.remat:
+            block_cls = nn.remat(Qwen2Block, prevent_cse=False)
+
+        if cfg.scan_layers:
+            scanned = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, 0, nn.broadcast),
+                out_axes=0,
+                length=cfg.num_hidden_layers,
+            )
+            x, stacked_cache = scanned(cfg, name="layers")(
+                x, bias, cos, sin, cache_k, cache_v, cache_index
+            )
+            new_k, new_v = stacked_cache
+        else:
+            new_ks, new_vs = [], []
+            for i in range(cfg.num_hidden_layers):
+                ck = cache_k[i] if cache_k is not None else None
+                cv = cache_v[i] if cache_v is not None else None
+                x, (nk, nv) = block_cls(cfg, name=f"layers_{i}")(
+                    x, bias, cos, sin, ck, cv, cache_index
+                )
+                new_ks.append(nk)
+                new_vs.append(nv)
+            new_k = jnp.stack(new_ks) if new_ks and new_ks[0] is not None else None
+            new_v = jnp.stack(new_vs) if new_vs and new_vs[0] is not None else None
+
+        x = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype, name="norm")(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = {
+                "k": new_k,
+                "v": new_v,
+                "mask": kv_mask.astype(jnp.bool_),
+                "index": cache["index"] + t,
+            }
+
+        logits = embed.attend(x) if compute_tied_logits else None
+        return x, new_cache, logits
+
+
+class Qwen2ForCausalLM(nn.Module):
+    """LM head on top of Qwen2Model (tied embeddings for 0.5B/1.5B)."""
+
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, input_ids=None, inputs_embeds=None, attention_mask=None,
+                 positions=None, cache=None, causal: bool = True):
+        hidden, new_cache, tied_logits = Qwen2Model(self.cfg, name="model")(
+            input_ids=input_ids,
+            inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            positions=positions,
+            cache=cache,
+            causal=causal,
+            compute_tied_logits=self.cfg.tie_word_embeddings,
+        )
+        if self.cfg.tie_word_embeddings:
+            logits = tied_logits
+        else:
+            logits = nn.Dense(
+                self.cfg.vocab_size,
+                use_bias=False,
+                dtype=self.cfg.dtype,
+                param_dtype=self.cfg.param_dtype,
+                name="lm_head",
+            )(hidden)
+        return logits, hidden, new_cache

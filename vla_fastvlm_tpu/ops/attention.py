@@ -1,0 +1,72 @@
+"""Attention ops: XLA reference path plus dispatch to the Pallas flash kernel.
+
+The reference consumes attention indirectly through HF's Qwen2 CUDA kernels
+(SURVEY.md 2.2). Here attention is explicit: a masked, GQA-aware
+``dot_product_attention`` in pure jnp (exact softmax in fp32) used for parity
+tests and CPU runs, with a Pallas TPU flash-attention kernel slotted in for the
+jitted hot path (``vla_fastvlm_tpu.ops.pallas.flash_attention``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-but-finite: avoids NaN from (-inf) - (-inf) in softmax
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """Expand KV heads for grouped-query attention: (B, S, K, D) -> (B, S, K*n_rep, D)."""
+    if n_rep == 1:
+        return x
+    b, s, k, d = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, k, n_rep, d))
+    return x.reshape(b, s, k * n_rep, d)
+
+
+def make_attention_bias(
+    q_positions: jnp.ndarray,  # (B, T) int32 absolute positions of queries
+    kv_positions: jnp.ndarray,  # (B, S) int32 absolute positions of keys
+    kv_mask: jnp.ndarray,  # (B, S) bool/int — 1 where key is a real token
+    causal: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Build an additive attention bias of shape (B, 1, T, S).
+
+    Combines key padding with (optionally) causality by absolute position,
+    which works for both prefill (q_positions == kv_positions) and KV-cached
+    decode (one query position vs the whole cache).
+    """
+    allowed = kv_mask[:, None, :].astype(bool)  # (B, 1, S)
+    allowed = jnp.broadcast_to(
+        allowed[:, None, :, :], (kv_mask.shape[0], 1, q_positions.shape[1], kv_mask.shape[1])
+    )
+    if causal:
+        causal_ok = kv_positions[:, None, None, :] <= q_positions[:, None, :, None]
+        allowed = jnp.logical_and(allowed, causal_ok)
+    return jnp.where(allowed, jnp.zeros((), dtype), jnp.full((), NEG_INF, dtype))
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # (B, T, N, D)
+    k: jnp.ndarray,  # (B, S, K, D)
+    v: jnp.ndarray,  # (B, S, K, D)
+    bias: jnp.ndarray | None = None,  # (B, 1, T, S) additive
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Exact masked attention with fp32 softmax. Returns (B, T, N, D)."""
+    n_heads, kv_heads = q.shape[2], k.shape[2]
+    if n_heads != kv_heads:
+        rep = n_heads // kv_heads
+        k = repeat_kv(k, rep)
+        v = repeat_kv(v, rep)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    logits = jnp.einsum("btnd,bsnd->bnts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnts,bsnd->btnd", probs.astype(v.dtype), v)
+    return out

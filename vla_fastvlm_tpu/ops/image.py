@@ -1,0 +1,101 @@
+"""Image preprocessing ops: letterbox resize + pad + normalize.
+
+Reimplements the reference letterbox math exactly (``fastvlm_adapter.py:36-55``):
+``ratio = max(w/W, h/H)``, truncating-int resized dims, bilinear resize with
+half-pixel centers (torch ``align_corners=False``, no antialias), then pad on
+the *top and left* to the square target. ImageNet normalization matches
+``fastvlm_adapter.py:463-477``.
+
+All functions are shape-static and jit-safe; they are also fused by XLA with
+the downstream patch embedding when called inside the jitted policy step. A
+host-side C++ implementation for uint8 camera frames lives in
+``vla_fastvlm_tpu/native`` for dataloader-side preprocessing overlap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize of (B, C, H, W) with torch ``align_corners=False`` semantics."""
+    b, c, _, _ = img.shape
+    return jax.image.resize(
+        img, (b, c, out_h, out_w), method="bilinear", antialias=False
+    )
+
+
+def resize_with_pad(
+    img: jnp.ndarray, width: int, height: int, pad_value: float = 0.0
+) -> jnp.ndarray:
+    """Resize preserving aspect ratio, then pad top/left to (height, width).
+
+    Parity with reference ``resize_with_pad`` (``fastvlm_adapter.py:36-55``):
+    deterministic top/left fill so geometry is never distorted.
+    """
+    if img.ndim != 4:
+        raise ValueError(f"(B,C,H,W) expected, but got shape {tuple(img.shape)}")
+
+    cur_height, cur_width = img.shape[2:]
+    ratio = max(cur_width / width, cur_height / height)
+    resized_height = int(cur_height / ratio)
+    resized_width = int(cur_width / ratio)
+    resized = resize_bilinear(img, resized_height, resized_width)
+
+    pad_height = max(0, int(height - resized_height))
+    pad_width = max(0, int(width - resized_width))
+    return jnp.pad(
+        resized,
+        ((0, 0), (0, 0), (pad_height, 0), (pad_width, 0)),
+        constant_values=pad_value,
+    )
+
+
+def normalize_imagenet(img: jnp.ndarray) -> jnp.ndarray:
+    """Scale [0,255]-range input to [0,1] if needed, then ImageNet-normalize.
+
+    Matches reference ``_maybe_normalize_imagenet`` (``fastvlm_adapter.py:463-477``)
+    except the [0,255] check is per-batch-static: callers pass [0,1] floats
+    (the dataset transform already rescales, ``aloha_dataset.py:26-37``).
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=img.dtype).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD, dtype=img.dtype).reshape(1, 3, 1, 1)
+    return (img - mean) / std
+
+
+def prepare_image_batch(
+    img: jnp.ndarray,
+    size: int,
+    resize_with_padding: bool = True,
+    pad_value: float = 0.0,
+    normalize: bool = False,
+    dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """(B, C, H, W) float in [0,1] -> (B, 3, size, size), the model-facing layout.
+
+    Mirrors the reference pipeline ``_prepare_images_tensor``
+    (``fastvlm_adapter.py:479-488``) + channel fixes (``:444-449``): grayscale is
+    broadcast to 3 channels, extra channels truncated, then letterbox (or plain
+    bilinear square resize), then optional ImageNet normalization. Runs on
+    device inside the jitted step — the reference pins this to CPU per batch
+    (``fastvlm_adapter.py:485``), which starves the accelerator.
+    """
+    if img.shape[1] == 1:
+        img = jnp.broadcast_to(img, (img.shape[0], 3) + img.shape[2:])
+    elif img.shape[1] > 3:
+        img = img[:, :3]
+
+    if resize_with_padding:
+        img = resize_with_pad(img, width=size, height=size, pad_value=pad_value)
+    elif img.shape[-2:] != (size, size):
+        img = resize_bilinear(img, size, size)
+
+    if normalize:
+        img = normalize_imagenet(img)
+    if dtype is not None:
+        img = img.astype(dtype)
+    return img

@@ -1,0 +1,94 @@
+"""Minimal dataclass -> argparse CLI in the style of tyro.
+
+The reference scripts build their CLI with ``tyro.cli(TrainArgs)``
+(reference ``scripts/train.py:152``, ``scripts/eval_dataset.py:81``), producing
+``--kebab-case`` flags from dataclass fields. tyro is not a baked-in dependency
+of this environment, so this module provides the subset the parity contract
+needs: kebab-case flags, Optional[...] fields, bools as ``--flag/--no-flag``,
+tuples, and defaults taken from the dataclass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import typing
+from typing import Any, Optional, Sequence, Type, TypeVar, Union
+
+T = TypeVar("T")
+
+
+def _unwrap_optional(tp: Any) -> tuple[Any, bool]:
+    origin = typing.get_origin(tp)
+    if origin is Union:
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        if len(args) == 1:
+            return args[0], True
+    return tp, False
+
+
+def _base_parser(value: Any) -> Any:
+    if value is bool:
+        return bool
+    if value is int:
+        return int
+    if value is float:
+        return float
+    return str
+
+
+def parse_cli(cls: Type[T], args: Optional[Sequence[str]] = None, prog: Optional[str] = None) -> T:
+    """Parse command-line flags into an instance of dataclass ``cls``."""
+    if not dataclasses.is_dataclass(cls):
+        raise TypeError(f"parse_cli expects a dataclass, got {cls!r}")
+
+    parser = argparse.ArgumentParser(prog=prog, description=cls.__doc__)
+    hints = typing.get_type_hints(cls)
+
+    for field in dataclasses.fields(cls):
+        if not field.init:
+            continue
+        flag = "--" + field.name.replace("_", "-")
+        tp, is_optional = _unwrap_optional(hints.get(field.name, field.type))
+        origin = typing.get_origin(tp)
+
+        if field.default is not dataclasses.MISSING:
+            default = field.default
+        elif field.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+            default = field.default_factory()  # type: ignore[misc]
+        else:
+            default = None
+
+        if tp is bool:
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(flag, dest=field.name, action="store_true", default=default)
+            group.add_argument(
+                "--no-" + field.name.replace("_", "-"),
+                dest=field.name,
+                action="store_false",
+            )
+        elif origin in (list, tuple):
+            elem_types = typing.get_args(tp)
+            elem = _base_parser(elem_types[0] if elem_types else str)
+            parser.add_argument(flag, dest=field.name, nargs="*", type=elem, default=default)
+        else:
+            caster = _base_parser(tp)
+
+            def _cast(value: str, caster=caster, is_optional=is_optional):
+                if is_optional and value.lower() in ("none", "null"):
+                    return None
+                return caster(value)
+
+            parser.add_argument(flag, dest=field.name, type=_cast, default=default)
+
+    ns = parser.parse_args(args)
+    kwargs = {}
+    for field in dataclasses.fields(cls):
+        if not field.init:
+            continue
+        value = getattr(ns, field.name)
+        tp, _ = _unwrap_optional(hints.get(field.name, field.type))
+        if typing.get_origin(tp) is tuple and isinstance(value, list):
+            value = tuple(value)
+        kwargs[field.name] = value
+    return cls(**kwargs)
