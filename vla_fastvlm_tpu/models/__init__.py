@@ -1,3 +1,16 @@
+from .action_head import ActionChunkHead, ActionExpertHead
+from .fastvit import FastViTHD, FastViTHDConfig, fastvithd, fastvithd_tiny
+from .fastvlm import (
+    FastVLM,
+    FastVLMConfig,
+    MMProjector,
+    fastvlm_0_5b,
+    fastvlm_1_5b,
+    fastvlm_7b,
+    fastvlm_tiny,
+    pool_hidden,
+    pool_last_text_token,
+)
 from .qwen2 import (
     Qwen2Config,
     Qwen2ForCausalLM,
@@ -10,6 +23,21 @@ from .qwen2 import (
 )
 
 __all__ = [
+    "ActionChunkHead",
+    "ActionExpertHead",
+    "FastViTHD",
+    "FastViTHDConfig",
+    "fastvithd",
+    "fastvithd_tiny",
+    "FastVLM",
+    "FastVLMConfig",
+    "MMProjector",
+    "fastvlm_0_5b",
+    "fastvlm_1_5b",
+    "fastvlm_7b",
+    "fastvlm_tiny",
+    "pool_hidden",
+    "pool_last_text_token",
     "Qwen2Config",
     "Qwen2ForCausalLM",
     "Qwen2Model",

@@ -1,0 +1,206 @@
+"""FastVLM (llava_qwen2) composition: FastViTHD + mm projector + Qwen2.
+
+The reference loads this composite opaquely from Apple's HF checkpoint with
+``trust_remote_code=True`` (reference ``fastvlm_adapter.py:185-191``) and calls
+it at ``fastvlm_adapter.py:533`` with ``output_hidden_states=True``. Here the
+composite is an explicit Flax module so the whole pixels+text -> hidden-states
+path is one jittable XLA program.
+
+Image-token splice semantics
+----------------------------
+LLaVA-style models splice projected image tokens into the text embedding
+sequence at ``<image>`` placeholder positions. The reference tokenizes raw
+task strings (``fastvlm_adapter.py:361-380``) which contain no placeholder, so
+under Apple's remote code the image features are *dropped* and the backbone
+features are effectively text-only — a real behavioral quirk of the reference
+(see SURVEY.md §3.1 on the text-mask pooling subtlety). We support both:
+
+- ``image_token_mode="prefix"`` (default): projected image tokens are
+  prepended to the text sequence — the splice that a placeholder right after
+  BOS would produce, and the behavior a VLA actually needs.
+- ``image_token_mode="none"``: strict reference parity — text-only features,
+  the vision tower is not even executed.
+
+Both paths are static-shape: image token count is a function of image size
+only, so XLA sees one fixed sequence length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .fastvit import FastViTHD, FastViTHDConfig, fastvithd, fastvithd_tiny
+from .qwen2 import Qwen2Config, Qwen2Model, qwen2_0_5b, qwen2_1_5b, qwen2_7b, qwen2_tiny
+
+
+@dataclasses.dataclass(frozen=True)
+class FastVLMConfig:
+    """Composite config: vision tower + text decoder + projector + splice."""
+
+    vision: FastViTHDConfig = dataclasses.field(default_factory=fastvithd)
+    text: Qwen2Config = dataclasses.field(default_factory=qwen2_0_5b)
+    # Square input side fed to the vision tower. All FastVLM stage-3
+    # checkpoints declare 1024 via the tower name ("mobileclip_l_1024",
+    # reference ``fastvlm_adapter.py:300-335``).
+    image_size: int = 1024
+    image_token_mode: str = "prefix"  # "prefix" | "none"
+
+    @property
+    def num_image_tokens(self) -> int:
+        if self.image_token_mode == "none":
+            return 0
+        side = self.image_size // self.vision.downsample_factor
+        return side * side
+
+    @property
+    def hidden_size(self) -> int:
+        return self.text.hidden_size
+
+    def replace(self, **kw) -> "FastVLMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def fastvlm_0_5b(**kw) -> FastVLMConfig:
+    return FastVLMConfig(vision=fastvithd(), text=qwen2_0_5b(), **kw)
+
+
+def fastvlm_1_5b(**kw) -> FastVLMConfig:
+    return FastVLMConfig(vision=fastvithd(), text=qwen2_1_5b(), **kw)
+
+
+def fastvlm_7b(**kw) -> FastVLMConfig:
+    return FastVLMConfig(vision=fastvithd(), text=qwen2_7b(), **kw)
+
+
+def fastvlm_tiny(**kw) -> FastVLMConfig:
+    """Tiny composite for tests: 2-layer decoder, 48->96-wide tower, 64px."""
+    kw.setdefault("image_size", 64)
+    return FastVLMConfig(vision=fastvithd_tiny(), text=qwen2_tiny(), **kw)
+
+
+class MMProjector(nn.Module):
+    """LLaVA mlp2x_gelu projector: vision width -> decoder hidden size."""
+
+    hidden_size: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc2")(x)
+        return x
+
+
+class FastVLM(nn.Module):
+    """Pixels + tokenized instruction -> decoder hidden states.
+
+    Returns ``(hidden, seq_mask, text_mask)`` where ``hidden`` is the
+    post-final-norm hidden sequence (HF ``hidden_states[-1]``, what the
+    reference pools at ``fastvlm_adapter.py:551-560``), ``seq_mask`` marks
+    real positions of the full multimodal sequence, and ``text_mask`` marks
+    text positions within it (for reference-parity pooling).
+    """
+
+    cfg: FastVLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Optional[jnp.ndarray],  # (B, 3, S, S) or (B, S, S, 3); None ok
+        input_ids: jnp.ndarray,  # (B, T)
+        attention_mask: Optional[jnp.ndarray] = None,  # (B, T), 1 = real
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        b, t = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, t), jnp.int32)
+        attention_mask = attention_mask.astype(jnp.int32)
+
+        decoder = Qwen2Model(cfg.text, name="language_model")
+        # Pull the embedding table through the decoder's own embedder so the
+        # parameter tree matches the HF checkpoint layout (model.embed_tokens).
+        text_embeds = decoder.embed(input_ids)
+
+        n_img = cfg.num_image_tokens
+        if n_img > 0:
+            assert images is not None, "image_token_mode=prefix requires images"
+            vision_tokens = FastViTHD(cfg.vision, name="vision_tower")(images)
+            image_embeds = MMProjector(
+                cfg.text.hidden_size, cfg.text.dtype, cfg.text.param_dtype,
+                name="mm_projector",
+            )(vision_tokens)
+            inputs_embeds = jnp.concatenate(
+                [image_embeds.astype(text_embeds.dtype), text_embeds], axis=1
+            )
+            img_mask = jnp.ones((b, n_img), jnp.int32)
+            seq_mask = jnp.concatenate([img_mask, attention_mask], axis=1)
+            text_mask = jnp.concatenate(
+                [jnp.zeros((b, n_img), jnp.int32), attention_mask], axis=1
+            )
+        else:
+            inputs_embeds = text_embeds
+            seq_mask = attention_mask
+            text_mask = attention_mask
+
+        hidden, _, _ = decoder(
+            inputs_embeds=inputs_embeds,
+            attention_mask=seq_mask,
+            causal=True,
+        )
+        return hidden, seq_mask, text_mask
+
+
+def pool_hidden(
+    hidden: jnp.ndarray,  # (B, T, H)
+    mask: Optional[jnp.ndarray],  # (B, T) or None
+    mode: str,
+) -> jnp.ndarray:
+    """Masked pooling over the sequence axis: (B, T, H) -> (B, H).
+
+    Parity with reference ``_pool_hidden`` (``fastvlm_adapter.py:337-359``):
+    ``mean_pool`` is a mask-weighted mean with denominator clamped at 1e-6;
+    ``last_token`` gathers at index ``sum(mask) - 1`` (clamped at 0), or the
+    final position when no mask is given.
+    """
+    if mode == "mean_pool":
+        if mask is None:
+            return hidden.mean(axis=1)
+        m = mask.astype(hidden.dtype)[..., None]
+        summed = (hidden * m).sum(axis=1)
+        denom = jnp.clip(m.sum(axis=1), 1e-6, None)
+        return summed / denom
+
+    if mode != "last_token":
+        raise ValueError(f"unknown pooling mode {mode!r}")
+    if mask is None:
+        return hidden[:, -1, :]
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+    idx = jnp.clip(lengths - 1, 0, None)  # (B,)
+    return jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0, :]
+
+
+def pool_last_text_token(
+    hidden: jnp.ndarray,  # (B, T, H) multimodal hidden sequence
+    text_mask: jnp.ndarray,  # (B, T) 1 at text positions
+) -> jnp.ndarray:
+    """Pool at the last *text* token of the multimodal sequence.
+
+    This is the corrected version of the reference's pooling quirk: the
+    reference computes the last-token index from text lengths alone
+    (``fastvlm_adapter.py:558-559``), which is wrong whenever image tokens are
+    spliced in front. Here we find the true last text position via the text
+    mask (argmax of position*mask), independent of how many image tokens
+    precede it.
+    """
+    positions = jnp.arange(hidden.shape[1], dtype=jnp.int32)[None, :]
+    last = jnp.argmax(jnp.where(text_mask > 0, positions, -1), axis=1)  # (B,)
+    return jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0, :]

@@ -214,6 +214,20 @@ class Qwen2Model(nn.Module):
 
     cfg: Qwen2Config
 
+    def setup(self):
+        # Declared in setup (not compact) so composites like FastVLM can call
+        # ``embed()`` standalone to build the text half of a multimodal splice.
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size,
+            self.cfg.hidden_size,
+            dtype=self.cfg.dtype,
+            param_dtype=self.cfg.param_dtype,
+        )
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Token ids -> embeddings, using the decoder's own embedding table."""
+        return self.embed_tokens(input_ids)
+
     @nn.compact
     def __call__(
         self,
@@ -226,13 +240,7 @@ class Qwen2Model(nn.Module):
         compute_tied_logits: bool = False,
     ):
         cfg = self.cfg
-        embed = nn.Embed(
-            cfg.vocab_size,
-            cfg.hidden_size,
-            dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
-            name="embed_tokens",
-        )
+        embed = self.embed_tokens
         if inputs_embeds is None:
             inputs_embeds = embed(input_ids)
         x = inputs_embeds.astype(cfg.dtype)
