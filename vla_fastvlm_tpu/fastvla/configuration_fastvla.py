@@ -1,0 +1,73 @@
+"""FastVLA policy configuration.
+
+Parity with reference ``src/vla_fastvlm/fastvla/configuration_fastvla.py``:
+same field set and the same ``to_backbone_config()`` translation
+(reference ``configuration_fastvla.py:10-46``), extended with TPU-native knobs
+(dtypes, image splice mode, action chunking).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from ..model.fastvlm_adapter import FastVLMBackboneConfig
+
+
+@dataclass
+class FastVLAConfig:
+    """Configuration for adapting FastVLM into a VLA policy.
+
+    Mirrors the structure of the SmolVLA config but keeps a FastVLM backbone
+    (reference docstring, ``configuration_fastvla.py:11-14``).
+    """
+
+    vlm_model_name: str = "apple/FastVLM-0.5B"
+    bootstrap_model_name: str = "apple/FastVLM-0.5B"
+    state_dim: int = 14
+    action_dim: int = 14
+    hidden_dim: int = 1024
+    fusion_dim: int = 1024
+    dropout: float = 0.1
+    freeze_backbone: bool = True
+
+    # Preprocessing
+    tokenizer_max_length: int = 64
+    tokenizer_padding_side: str = "right"
+    pad_to_max_length: bool = False
+    resize_with_padding: bool = True
+    image_size: Optional[int] = None
+    pad_value: float = 0.0
+    add_trailing_newline: bool = True
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    # "prefix" feeds image tokens to the decoder; "none" is strict parity
+    # with the reference's effective text-only behavior (see
+    # model/fastvlm_adapter.py module docstring).
+    image_token_mode: str = "prefix"
+    dtype: str = "float32"
+    param_dtype: str = "float32"
+    train_backbone: bool = False
+    # chunk_size > 1 emits (chunk, action_dim) per forward (action chunking).
+    chunk_size: int = 1
+    seed: int = 0
+
+    def to_backbone_config(self) -> FastVLMBackboneConfig:
+        """Translate to the backbone adapter config
+        (parity: reference ``configuration_fastvla.py:34-46``)."""
+        return FastVLMBackboneConfig(
+            model_id=self.vlm_model_name,
+            bootstrap_model_id=self.bootstrap_model_name,
+            freeze_backbone=self.freeze_backbone,
+            force_image_size=self.image_size,
+            resize_with_padding=self.resize_with_padding,
+            pad_value=self.pad_value,
+            tokenizer_max_length=self.tokenizer_max_length,
+            tokenizer_padding_side=self.tokenizer_padding_side,
+            pad_to_max_length=self.pad_to_max_length,
+            image_token_mode=self.image_token_mode,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            train_backbone=self.train_backbone,
+            seed=self.seed,
+        )

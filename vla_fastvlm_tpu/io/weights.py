@@ -103,3 +103,47 @@ def convert_qwen2_state_dict(
             _set(params, ("lm_head", "kernel"), grab(lm_head_key).T)
 
     return params
+
+
+def fold_conv_bn(
+    conv_w: np.ndarray,  # (O, I/g, kH, kW) torch layout
+    conv_b: np.ndarray | None,
+    bn_gamma: np.ndarray,
+    bn_beta: np.ndarray,
+    bn_mean: np.ndarray,
+    bn_var: np.ndarray,
+    eps: float = 1e-5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold a BatchNorm into the preceding conv (inference reparameterization).
+
+    Returns (folded_w, folded_b) still in torch (O, I/g, kH, kW) layout. This
+    is the standard RepVGG/MobileOne fold: w' = w * gamma/sqrt(var+eps),
+    b' = beta + (b - mean) * gamma/sqrt(var+eps).
+    """
+    std = np.sqrt(bn_var + eps)
+    scale = bn_gamma / std
+    folded_w = conv_w * scale[:, None, None, None]
+    bias = conv_b if conv_b is not None else np.zeros_like(bn_mean)
+    folded_b = bn_beta + (bias - bn_mean) * scale
+    return folded_w, folded_b
+
+
+def torch_conv_to_flax(w: np.ndarray) -> np.ndarray:
+    """(O, I/g, kH, kW) torch conv kernel -> (kH, kW, I/g, O) flax layout."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_fastvithd_state_dict(state_dict, vision_cfg, dtype=np.float32):
+    """Convert Apple's (unfused) FastViTHD tower weights to our fused layout.
+
+    The Apple llava_qwen2 checkpoints store the train-time multi-branch
+    MobileOne/RepMixer parameters under ``model.vision_tower.*``; converting
+    them requires the reparameterization fold against the exact stored names,
+    which can only be validated against a real checkpoint. Until a checkpoint
+    is available in this environment this raises KeyError so callers fall back
+    to random init with a warning (``io/model_loader.py``).
+    """
+    raise KeyError(
+        "FastViTHD checkpoint conversion requires a real Apple checkpoint to "
+        "validate the name mapping; not yet enabled."
+    )

@@ -1,0 +1,340 @@
+"""FastVLM backbone adapter: images + task strings -> pooled features.
+
+TPU-native rebuild of reference ``src/vla_fastvlm/model/fastvlm_adapter.py``.
+The public surface is the same — ``FastVLMBackboneConfig``,
+``FastVLMBackbone.forward(images, tasks, device) -> (B, H)``,
+``resize_with_pad`` — but the implementation inverts the reference's design:
+
+- The VLM is in-repo Flax (``models/fastvlm.py``), not opaque HF remote code,
+  so the whole pixels+text -> pooled-features path is ONE jitted XLA program.
+- Image letterboxing runs on-device inside that program (the reference pins it
+  to CPU per batch, ``fastvlm_adapter.py:485``, starving the accelerator).
+- Tokenization pads to the static ``tokenizer_max_length`` inside jit; the
+  attention mask preserves ``padding="longest"`` semantics exactly (last-token
+  pooling indexes by mask sum, ``fastvlm_adapter.py:353-358``).
+- The reference's ``@torch.no_grad()`` on forward (``fastvlm_adapter.py:501``)
+  — backbone never receives gradients even with ``freeze_backbone=False`` —
+  is reproduced via ``stop_gradient``, overridable with ``train_backbone``.
+
+Config-resolution behaviors preserved: expected-image-size priority chain
+(``fastvlm_adapter.py:245-278``), tower-name size regex (``:300-335``), the
+guard rejecting ``force_image_size`` below the declared tower size
+(``:144-154``), and the llava_qwen2 bootstrap loader semantics (``:183-241``,
+restated in ``io/model_loader.py``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.model_loader import (
+    infer_size_from_tower_name,
+    load_fastvlm_params,
+    resolve_fastvlm_config,
+)
+from ..io.tokenizer import load_tokenizer
+from ..models.fastvlm import FastVLM, pool_hidden, pool_last_text_token
+from ..ops.image import prepare_image_batch, resize_with_pad  # noqa: F401  (re-export)
+
+logger = logging.getLogger(__name__)
+
+ImageLike = Union[jnp.ndarray, np.ndarray, "Any"]
+
+
+@dataclass
+class FastVLMBackboneConfig:
+    """Parity fields from reference ``fastvlm_adapter.py:58-80`` + TPU knobs."""
+
+    model_id: str = "apple/FastVLM-0.5B"
+    # Used only when loading local llava_qwen2 checkpoints missing `auto_map`.
+    bootstrap_model_id: str = "apple/FastVLM-0.5B"
+    freeze_backbone: bool = True
+    # "last_token" | "mean_pool"
+    image_feature_pool: str = "last_token"
+    # Square side fed to the vision tower when nothing declares a size.
+    fallback_image_size: int = 512
+    # Overrides auto-detection when set.
+    force_image_size: Optional[int] = None
+    # Scale [0,255] input to [0,1] then ImageNet-normalize.
+    normalize_imagenet: bool = False
+    # Letterbox (aspect-preserving resize + pad) instead of stretch.
+    resize_with_padding: bool = True
+    pad_value: float = 0.0
+    # Tokenizer knobs.
+    tokenizer_max_length: int = 64
+    pad_to_max_length: bool = False
+    tokenizer_padding_side: str = "right"
+    # Kept for API parity; the in-repo model has one canonical image input so
+    # the reference's multi-key retry loop (``fastvlm_adapter.py:530-546``)
+    # is no longer needed.
+    image_key_order: Tuple[str, ...] = ("images", "pixel_values", "pixel_values_vit")
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    # "prefix": splice projected image tokens before the text (what a VLA
+    # needs). "none": strict reference parity — Apple's remote code drops
+    # image features when the prompt has no <image> placeholder, which is
+    # exactly what the reference's raw-task tokenization produces.
+    image_token_mode: str = "prefix"
+    # Compute/param dtypes ("bfloat16" for TPU speed, "float32" for parity).
+    dtype: str = "float32"
+    param_dtype: str = "float32"
+    # Truly train the backbone (reference always stop-grads it).
+    train_backbone: bool = False
+    seed: int = 0
+
+
+def _np_dtype(name: str):
+    return {"float32": np.float32, "bfloat16": jnp.bfloat16, "float16": np.float16}[name]
+
+
+class FastVLMBackbone:
+    """Host-side wrapper owning the Flax FastVLM, its params, and tokenizer.
+
+    The compute path is exposed two ways:
+    - ``forward(images, tasks)`` — the reference-parity eager API;
+    - ``features_fn(params, images, input_ids, attention_mask)`` — a pure
+      function for composition into larger jitted programs (policy loss,
+      train step).
+    """
+
+    def __init__(self, config: FastVLMBackboneConfig | None = None) -> None:
+        self.config = config or FastVLMBackboneConfig()
+        cfg = self.config
+
+        dtype = _np_dtype(cfg.dtype)
+        param_dtype = _np_dtype(cfg.param_dtype)
+        self.model_config, self._raw_hf_config = resolve_fastvlm_config(
+            cfg.model_id,
+            bootstrap_model_id=cfg.bootstrap_model_id,
+            dtype=dtype,
+            param_dtype=param_dtype,
+            image_token_mode=cfg.image_token_mode,
+        )
+
+        # ---- expected image size (priority chain, reference :245-278) ----
+        self.expected_size = self._resolve_expected_image_size()
+        declared_size, tower_name = self._resolve_declared_tower_size()
+        if (
+            declared_size is not None
+            and cfg.force_image_size is not None
+            and int(self.expected_size) < int(declared_size)
+        ):
+            raise ValueError(
+                "Configured image_size is too small for this FastVLM vision tower. "
+                f"force_image_size={self.expected_size}, tower={tower_name}, "
+                f"required>={declared_size}. Set image_size to the declared tower "
+                "size (e.g. 1024) or leave it unset (None) for auto-detection."
+            )
+        self.model_config = self.model_config.replace(
+            image_size=int(self.expected_size)
+        )
+
+        self.model = FastVLM(self.model_config)
+        self.tokenizer = load_tokenizer(
+            cfg.model_id, padding_side=cfg.tokenizer_padding_side
+        )
+        self.output_dim = int(self.model_config.text.hidden_size)
+
+        self.params = self._load_or_init_params()
+        self._jitted_forward = jax.jit(self._forward_impl)
+        logger.info(
+            "[FastVLMBackbone] expected (S,S) = (%d,%d)",
+            self.expected_size,
+            self.expected_size,
+        )
+
+    # ------------------------------------------------------------------
+    # loading
+
+    def _load_or_init_params(self):
+        cfg = self.config
+        params = None
+        if Path(cfg.model_id).is_dir():
+            params = load_fastvlm_params(cfg.model_id, self.model_config)
+        if params is not None:
+            init = self._init_params()
+            # Overlay converted weights onto the randomly initialized tree so
+            # partially-convertible checkpoints (e.g. decoder-only) still run.
+            params = _deep_merge(init, params)
+        else:
+            params = self._init_params()
+        return params
+
+    def _init_params(self):
+        cfg = self.model_config
+        b, t = 1, self.config.tokenizer_max_length
+        dummy_ids = jnp.zeros((b, t), jnp.int32)
+        dummy_imgs = (
+            jnp.zeros((b, 3, cfg.image_size, cfg.image_size), cfg.text.dtype)
+            if cfg.num_image_tokens > 0
+            else None
+        )
+        variables = self.model.init(
+            jax.random.PRNGKey(self.config.seed), dummy_imgs, dummy_ids
+        )
+        return variables["params"]
+
+    # ------------------------------------------------------------------
+    # size resolution (parity with reference :245-335)
+
+    def _resolve_expected_image_size(self) -> int:
+        cfg = self.config
+        if cfg.force_image_size is not None:
+            return int(cfg.force_image_size)
+
+        raw = self._raw_hf_config or {}
+        vision_cfg = raw.get("vision_config") or {}
+        img_size = vision_cfg.get("image_size")
+        if isinstance(img_size, (int, float)):
+            return int(img_size)
+        if isinstance(img_size, (tuple, list)) and len(img_size) > 0:
+            return int(img_size[0])
+
+        tower_size, _ = self._resolve_declared_tower_size()
+        if tower_size is not None:
+            return int(tower_size)
+
+        if self._raw_hf_config is None:
+            # Preset path: the preset's own declared size.
+            return int(self.model_config.image_size)
+        return int(cfg.fallback_image_size)
+
+    def _resolve_declared_tower_size(self) -> tuple[Optional[int], Optional[str]]:
+        raw = self._raw_hf_config or {}
+        candidates = [raw.get("mm_vision_tower"), raw.get("vision_tower")]
+        vision_cfg = raw.get("vision_config") or {}
+        candidates.append(vision_cfg.get("model_name"))
+        candidates.append(vision_cfg.get("name_or_path"))
+        for tower_name in candidates:
+            tower_size = infer_size_from_tower_name(tower_name)
+            if tower_size is not None:
+                return tower_size, str(tower_name)
+        return None, None
+
+    # behavior-parity alias (reference staticmethod name)
+    _infer_size_from_tower_name = staticmethod(infer_size_from_tower_name)
+
+    # ------------------------------------------------------------------
+    # text
+
+    def _prep_text(self, tasks: List[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize tasks to static (B, T) int32 ids + mask.
+
+        The jitted program always sees width ``tokenizer_max_length``;
+        ``pad_to_max_length=False`` ("longest") differs only in mask content,
+        never in shape — pooled features are identical because pooling is
+        mask-driven (reference ``fastvlm_adapter.py:353-358``).
+        """
+        cfg = self.config
+        batch = self.tokenizer(
+            tasks,
+            padding="max_length",
+            truncation=True,
+            max_length=cfg.tokenizer_max_length,
+        )
+        return batch.input_ids, batch.attention_mask
+
+    # ------------------------------------------------------------------
+    # images
+
+    def _as_bchw(self, images) -> np.ndarray:
+        """Normalize PIL / numpy / jax arrays (BCHW/BHWC/CHW/HWC/lists) to
+        float32 BCHW — behavior of reference ``_as_bchw``
+        (``fastvlm_adapter.py:384-442``)."""
+
+        def one_to_chw(x) -> np.ndarray:
+            if hasattr(x, "convert"):  # PIL image
+                x = np.asarray(x)
+            arr = np.asarray(x)
+            if arr.ndim == 3:
+                if arr.shape[0] in (1, 3):
+                    return arr.astype(np.float32)
+                if arr.shape[-1] in (1, 3):
+                    return np.transpose(arr, (2, 0, 1)).astype(np.float32)
+                raise ValueError(f"Unsupported array shape: {arr.shape}")
+            if arr.ndim == 2:
+                return arr[None].astype(np.float32)
+            raise ValueError(f"Unsupported tensor shape: {tuple(arr.shape)}")
+
+        if isinstance(images, (list, tuple)):
+            return np.stack([one_to_chw(img) for img in images], axis=0)
+        arr = np.asarray(images) if not isinstance(images, (np.ndarray, jnp.ndarray)) else images
+        arr = np.asarray(arr)
+        if arr.ndim == 4:
+            if arr.shape[-1] in (1, 3) and arr.shape[1] not in (1, 3):
+                arr = np.transpose(arr, (0, 3, 1, 2))
+            return arr.astype(np.float32)
+        return one_to_chw(arr)[None]
+
+    # ------------------------------------------------------------------
+    # forward
+
+    def _forward_impl(self, params, images, input_ids, attention_mask):
+        cfg = self.config
+        mcfg = self.model_config
+        if mcfg.num_image_tokens > 0:
+            images = prepare_image_batch(
+                images,
+                size=mcfg.image_size,
+                resize_with_padding=cfg.resize_with_padding,
+                pad_value=cfg.pad_value,
+                normalize=cfg.normalize_imagenet,
+                dtype=mcfg.text.dtype,
+            )
+        else:
+            images = None
+        hidden, seq_mask, text_mask = self.model.apply(
+            {"params": params}, images, input_ids, attention_mask
+        )
+        if cfg.image_feature_pool == "mean_pool":
+            pooled = pool_hidden(hidden, text_mask, "mean_pool")
+        else:
+            pooled = pool_last_text_token(hidden, text_mask)
+        if not cfg.train_backbone:
+            # Reference parity: backbone forward is @torch.no_grad()
+            # (``fastvlm_adapter.py:501``) regardless of freeze_backbone.
+            pooled = jax.lax.stop_gradient(pooled)
+        return pooled
+
+    def features_fn(self, params, images, input_ids, attention_mask):
+        """Pure feature extractor for composition into jitted programs."""
+        return self._forward_impl(params, images, input_ids, attention_mask)
+
+    def forward(
+        self,
+        images,
+        tasks: List[str],
+        device: Optional[jax.Device] = None,
+    ) -> jax.Array:
+        """(images, task strings) -> (B, H) pooled features."""
+        img = self._as_bchw(images)
+        ids, mask = self._prep_text(tasks)
+        if device is not None:
+            img = jax.device_put(img, device)
+            ids = jax.device_put(ids, device)
+            mask = jax.device_put(mask, device)
+        return self._jitted_forward(self.params, img, ids, mask)
+
+    __call__ = forward
+
+    # Compat: old call style `self.backbone(images, tasks, device=...)`
+    # (reference ``fastvlm_adapter.py:562-564``).
+    def backbone(self, images, tasks, device=None, **kwargs):
+        return self.forward(images, tasks, device=device)
+
+
+def _deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for key, value in overlay.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+            out[key] = _deep_merge(out[key], value)
+        else:
+            out[key] = value
+    return out
