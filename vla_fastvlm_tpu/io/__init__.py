@@ -1,3 +1,38 @@
-from .weights import convert_qwen2_state_dict
+"""Weight/checkpoint/tokenizer I/O (SURVEY.md §7.1 layer 3)."""
 
-__all__ = ["convert_qwen2_state_dict"]
+from .checkpoint import (
+    flatten_params,
+    load_policy_from_checkpoint,
+    load_policy_state,
+    load_train_state,
+    save_policy_checkpoint,
+    save_train_state,
+    unflatten_params,
+)
+from .model_loader import (
+    infer_size_from_tower_name,
+    load_fastvlm_params,
+    resolve_fastvlm_config,
+)
+from .tokenizer import ByteTokenizer, HFTokenizerAdapter, TokenBatch, load_tokenizer
+from .weights import convert_qwen2_state_dict, fold_conv_bn, torch_conv_to_flax
+
+__all__ = [
+    "ByteTokenizer",
+    "HFTokenizerAdapter",
+    "TokenBatch",
+    "convert_qwen2_state_dict",
+    "flatten_params",
+    "fold_conv_bn",
+    "infer_size_from_tower_name",
+    "load_fastvlm_params",
+    "load_policy_from_checkpoint",
+    "load_policy_state",
+    "load_tokenizer",
+    "load_train_state",
+    "resolve_fastvlm_config",
+    "save_policy_checkpoint",
+    "save_train_state",
+    "torch_conv_to_flax",
+    "unflatten_params",
+]

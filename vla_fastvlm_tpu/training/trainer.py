@@ -1,0 +1,347 @@
+"""Training runtime (L3): optax + one jitted train step.
+
+TPU-native rebuild of reference ``src/vla_fastvlm/training/trainer.py``.
+Public surface parity: ``TrainingConfig`` (same fields, ``trainer.py:20-39``),
+``Trainer(model, train_dl, eval_dl, config).fit()`` / ``.evaluate()``.
+
+Architecture differences (by design, SURVEY.md §2.3/§5):
+
+- The whole update — image prep, VLM prefill, pooling, head, MSE, backward,
+  AdamW, grad clip — is ONE jitted XLA program (``_train_step``); there is no
+  Accelerate/DDP wrapper. Data parallelism comes from sharding the batch over
+  a ``jax.sharding`` mesh (``vla_fastvlm_tpu/parallel``), with XLA inserting
+  the gradient all-reduce over ICI (the reference's NCCL all-reduce at
+  ``accelerator.backward``, ``trainer.py:175``).
+- Gradient accumulation uses ``optax.MultiSteps`` (reference:
+  ``accelerator.accumulate``, ``trainer.py:171``).
+- Mixed precision is native bf16 params/compute chosen at model construction;
+  the reference's bf16->fp16->no fallback chain (``trainer.py:89-122``) is
+  unnecessary on TPU but the knob is validated with the same degradation
+  spirit (unknown values warn and fall back to "no").
+- Checkpoints: reference directory layout (``checkpoints/step-N/`` +
+  ``policy_config.json`` + weights + ``training_config.json`` at the run
+  root, ``trainer.py:146-152,246-255``) with orbax for the resumable train
+  state. Unlike the reference, resume restores ``global_step``/``epoch`` —
+  the reference restarts counters at 0 (``trainer.py:86-87,257-262``), a
+  quirk SURVEY.md §5 flags as a bug, not a feature.
+
+Scheduler parity: linear warmup then linear decay computed over *optimizer
+updates* while ``global_step`` counts *batches* — the reference's dual-clock
+quirk (``trainer.py:184,223-231``) is preserved so stop conditions and LR
+curves match with gradient_accumulation_steps > 1.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainingConfig:
+    """Parity fields from reference ``trainer.py:20-39``."""
+
+    output_dir: str = "outputs/train"
+    num_epochs: int = 10
+    max_steps: Optional[int] = None
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    betas: tuple[float, float] = (0.9, 0.95)
+    eps: float = 1e-8
+    warmup_ratio: float = 0.03
+    max_grad_norm: float = 1.0
+    mixed_precision: Optional[str] = "bf16"
+    logging_steps: int = 50
+    eval_steps: int = 500
+    save_steps: int = 1000
+    seed: int = 42
+    resume_from: Optional[str] = None
+    gradient_checkpointing: bool = False
+    report_to: list[str] = field(default_factory=lambda: ["tensorboard"])
+
+
+class Trainer:
+    """Lightweight trainer tailored for FastVLM policy fine-tuning."""
+
+    def __init__(
+        self,
+        model,
+        train_dataloader: Iterable[Dict],
+        eval_dataloader: Optional[Iterable[Dict]] = None,
+        config: TrainingConfig | None = None,
+    ) -> None:
+        self.config = config or TrainingConfig()
+        self._validate_precision()
+
+        self.model = model
+        self.train_dataloader = train_dataloader
+        self.eval_dataloader = eval_dataloader
+
+        self.num_training_steps = self._compute_total_training_steps()
+        warmup_steps = int(self.num_training_steps * self.config.warmup_ratio)
+        self._schedule = _linear_warmup_decay(
+            self.config.learning_rate, self.num_training_steps, warmup_steps
+        )
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(self.config.max_grad_norm)
+            if self.config.max_grad_norm is not None
+            else optax.identity(),
+            optax.adamw(
+                learning_rate=self._schedule,
+                b1=self.config.betas[0],
+                b2=self.config.betas[1],
+                eps=self.config.eps,
+                weight_decay=self.config.weight_decay,
+            ),
+        )
+        if self.config.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, self.config.gradient_accumulation_steps)
+        self._tx = tx
+
+        self.trainable = model.trainable_params()
+        self.frozen = model.frozen_params()
+        self.opt_state = tx.init(self.trainable)
+
+        self._rng = jax.random.PRNGKey(self.config.seed)
+        self.global_step = 0
+        self.epoch = 0
+        self._writer = None
+
+        loss_fn = model.loss_fn
+
+        def train_step(trainable, opt_state, frozen, arrays, rng):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(
+                trainable, frozen, arrays, dropout_rng=rng, train=True
+            )
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return trainable, opt_state, metrics
+
+        def eval_step(trainable, frozen, arrays):
+            _, metrics = loss_fn(trainable, frozen, arrays, train=False)
+            return metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+
+    def _validate_precision(self) -> None:
+        precision = self.config.mixed_precision
+        if precision in (None, "no", "bf16", "bfloat16", "fp16", "float16"):
+            return
+        logger.warning(
+            "Mixed precision '%s' not supported on this backend; falling back "
+            "to 'no'. (TPU runs bf16 natively via the model dtype config.)",
+            precision,
+        )
+        self.config.mixed_precision = "no"
+
+    def _compute_total_training_steps(self) -> int:
+        """Optimizer-update count (parity: reference ``trainer.py:223-231``)."""
+        if self.config.max_steps:
+            return self.config.max_steps
+        try:
+            batches_per_epoch = len(self.train_dataloader)
+        except TypeError:
+            batches_per_epoch = 0
+        if batches_per_epoch > 0:
+            updates = max(
+                batches_per_epoch // self.config.gradient_accumulation_steps, 1
+            )
+            return updates * self.config.num_epochs
+        raise ValueError(
+            "Unable to infer total training steps from dataloader; please set max_steps."
+        )
+
+    # ------------------------------------------------------------------
+    # logging
+
+    def _init_trackers(self) -> None:
+        output_dir = Path(self.config.output_dir)
+        self._metrics_file = open(
+            output_dir / "logs" / "metrics.jsonl", "a", encoding="utf-8"
+        )
+        if "tensorboard" in (self.config.report_to or []):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(log_dir=str(output_dir / "logs"))
+                hparams = {
+                    k: (v if isinstance(v, (int, float, bool, str)) else str(v))
+                    for k, v in asdict(self.config).items()
+                }
+                self._writer.add_text(
+                    "vla_fastvlm/config", json.dumps(hparams, indent=2)
+                )
+            except Exception as exc:  # tensorboard optional
+                logger.warning("tensorboard tracker unavailable: %s", exc)
+                self._writer = None
+
+    def _log(self, metrics: Dict[str, float], step: int) -> None:
+        payload = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self._metrics_file.write(json.dumps(payload) + "\n")
+        self._metrics_file.flush()
+        if self._writer is not None:
+            for key, value in metrics.items():
+                self._writer.add_scalar(key, float(value), step)
+
+    # ------------------------------------------------------------------
+    # fitting
+
+    def fit(self) -> None:
+        output_dir = Path(self.config.output_dir)
+        if jax.process_index() == 0:
+            output_dir.mkdir(parents=True, exist_ok=True)
+            (output_dir / "checkpoints").mkdir(exist_ok=True)
+            (output_dir / "logs").mkdir(exist_ok=True)
+            with open(output_dir / "training_config.json", "w", encoding="utf-8") as f:
+                json.dump(asdict(self.config), f, indent=2)
+        self._init_trackers()
+
+        if self.config.resume_from:
+            self._load_checkpoint(self.config.resume_from)
+
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, self.config.num_epochs):
+            self.epoch = epoch
+            if hasattr(self.train_dataloader, "set_epoch"):
+                self.train_dataloader.set_epoch(epoch)
+            self._train_one_epoch()
+            if self.global_step >= self.num_training_steps:
+                break
+        self._end_training()
+
+    def _end_training(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+            self._writer.close()
+        self._metrics_file.close()
+
+    def _train_one_epoch(self) -> None:
+        cfg = self.config
+        for batch in self.train_dataloader:
+            arrays = self.model.prepare_batch(batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.trainable, self.opt_state, metrics = self._train_step(
+                self.trainable, self.opt_state, self.frozen, arrays, step_rng
+            )
+            # Parity quirk: global_step counts *batches* (reference
+            # ``trainer.py:184``) while the schedule/stop-count use updates.
+            self.global_step += 1
+
+            if self.global_step % cfg.logging_steps == 0:
+                updates = self.global_step // cfg.gradient_accumulation_steps
+                self._log(
+                    {
+                        "train/loss": metrics["loss"],
+                        "train/mse": metrics["mse"],
+                        "train/grad_norm": metrics["grad_norm"],
+                        "train/lr": float(self._schedule(updates)),
+                        "train/epoch": self.epoch,
+                    },
+                    step=self.global_step,
+                )
+
+            if self.global_step % cfg.eval_steps == 0 and self.eval_dataloader is not None:
+                eval_metrics = self.evaluate()
+                self._log(eval_metrics, step=self.global_step)
+
+            if self.global_step % cfg.save_steps == 0:
+                self._save_checkpoint(suffix=f"step-{self.global_step}")
+
+            if cfg.max_steps and self.global_step >= cfg.max_steps:
+                break
+
+    def evaluate(self) -> Dict[str, float]:
+        """Sample-weighted mean eval MSE (parity: reference ``trainer.py:208-221``)."""
+        if self.eval_dataloader is None:
+            return {}
+        total_loss = 0.0
+        total_count = 0
+        for batch in self.eval_dataloader:
+            arrays = self.model.prepare_batch(batch)
+            metrics = self._eval_step(self.trainable, self.frozen, arrays)
+            n = arrays["actions"].shape[0]
+            total_loss += float(metrics["mse"]) * n
+            total_count += n
+        return {"eval/mse": total_loss / max(total_count, 1)}
+
+    # ------------------------------------------------------------------
+    # checkpointing
+
+    def _sync_model_params(self) -> None:
+        self.model.load_params(self.model.merge_trainable(self.trainable))
+
+    def _save_checkpoint(self, suffix: str) -> None:
+        from ..io.checkpoint import save_policy_checkpoint, save_train_state
+
+        checkpoint_dir = Path(self.config.output_dir) / "checkpoints" / suffix
+        self._sync_model_params()
+        if jax.process_index() == 0:
+            save_policy_checkpoint(checkpoint_dir, self.model.config, self.model.params)
+            save_train_state(
+                checkpoint_dir,
+                {
+                    "opt_state": self.opt_state,
+                    "trainable": self.trainable,
+                    "global_step": self.global_step,
+                    "epoch": self.epoch,
+                    "rng": np.asarray(jax.device_get(self._rng)),
+                },
+            )
+        logger.info("Saved checkpoint %s", checkpoint_dir)
+
+    def _load_checkpoint(self, path: str) -> None:
+        from ..io.checkpoint import load_train_state
+
+        checkpoint_path = Path(path)
+        if not checkpoint_path.exists():
+            raise FileNotFoundError(f"Checkpoint path {path} does not exist.")
+        logger.info("Resuming from checkpoint %s", path)
+        template = {
+            "opt_state": self.opt_state,
+            "trainable": self.trainable,
+            "global_step": self.global_step,
+            "epoch": self.epoch,
+            "rng": np.asarray(jax.device_get(self._rng)),
+        }
+        restored = load_train_state(checkpoint_path, template)
+        self.opt_state = restored["opt_state"]
+        self.trainable = restored["trainable"]
+        self.global_step = int(restored["global_step"])
+        self.epoch = int(restored["epoch"])
+        self._rng = jnp.asarray(restored["rng"])
+        self._sync_model_params()
+
+
+def _linear_warmup_decay(peak_lr: float, total_steps: int, warmup_steps: int):
+    """LambdaLR parity (reference ``trainer.py:233-244``):
+    lr = peak * step/warmup during warmup, then linear to 0 at total."""
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = count / jnp.maximum(1.0, warmup_steps)
+        decay = jnp.maximum(
+            0.0,
+            (total_steps - count) / jnp.maximum(1.0, total_steps - warmup_steps),
+        )
+        return peak_lr * jnp.where(count < warmup_steps, warm, decay)
+
+    return schedule
