@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Offline dataset evaluation CLI.
+
+Parity with reference ``scripts/eval_dataset.py``: same ``EvalArgs`` flags
+(reference ``eval_dataset.py:16-25``), checkpoint load + policy dispatch
+(``:30``), validation->train split fallback gated by ``allow_missing_split``
+(``:34-61``), sample-weighted dataset MSE loop and final print (``:69-77``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import _bootstrap  # noqa: F401  (repo-root sys.path for uninstalled use)
+
+from vla_fastvlm_tpu.data import (
+    AlohaDataset,
+    AlohaIterableDataset,
+    SyntheticAlohaSource,
+    create_aloha_dataloader,
+)
+from vla_fastvlm_tpu.device import move_batch_to_device
+from vla_fastvlm_tpu.utils import configure_logging, load_policy_from_checkpoint
+from vla_fastvlm_tpu.utils.cli import parse_cli
+
+
+@dataclass
+class EvalArgs:
+    checkpoint_dir: str = "outputs/train/aloha_fastvlm/checkpoints/step-1000"
+    dataset_repo_id: str = "lerobot/aloha_sim_insertion_human_image"
+    split: str = "validation"
+    allow_missing_split: bool = True
+    streaming: bool = False
+    batch_size: int = 8
+    num_workers: int = 4
+    limit_samples: Optional[int] = None
+
+    # --- TPU-native extras (offline smoke) ---
+    synthetic_data: bool = False
+    synthetic_samples: int = 64
+    synthetic_image_size: int = 64
+    state_dim: int = 14
+    action_dim: int = 14
+    device: Optional[str] = None
+
+
+def _build_dataset(args: EvalArgs):
+    synthetic = (
+        SyntheticAlohaSource(
+            num_samples=args.synthetic_samples,
+            image_hw=(args.synthetic_image_size, args.synthetic_image_size),
+            state_dim=args.state_dim,
+            action_dim=args.action_dim,
+        )
+        if args.synthetic_data
+        else None
+    )
+    resolved_split = args.split
+
+    def make(split):
+        if args.streaming and not args.synthetic_data:
+            return AlohaIterableDataset(split=split, repo_id=args.dataset_repo_id)
+        return AlohaDataset(
+            split=split,
+            repo_id=args.dataset_repo_id,
+            limit_samples=args.limit_samples,
+            source=synthetic,
+        )
+
+    try:
+        dataset = make(args.split)
+    except ValueError as exc:
+        if args.allow_missing_split and "Unknown split" in str(exc):
+            resolved_split = "train"
+            dataset = make(resolved_split)
+            print(
+                f"[eval_dataset] Split '{args.split}' not found; using "
+                f"'{resolved_split}' instead."
+            )
+        else:
+            raise
+    return dataset, resolved_split
+
+
+def main(args: EvalArgs) -> None:
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    configure_logging()
+    policy, device = load_policy_from_checkpoint(args.checkpoint_dir)
+
+    dataset, resolved_split = _build_dataset(args)
+    dataloader = create_aloha_dataloader(
+        dataset,
+        batch_size=args.batch_size,
+        shuffle=False,
+        num_workers=args.num_workers,
+    )
+
+    total_loss = 0.0
+    total_samples = 0
+    for batch in dataloader:
+        tensor_batch = move_batch_to_device(batch, device)
+        outputs = policy.compute_loss(tensor_batch)
+        n = batch["actions"].shape[0]
+        total_loss += float(outputs["mse"]) * n
+        total_samples += n
+
+    mse = total_loss / max(total_samples, 1)
+    print(f"MSE on split '{resolved_split}': {mse:.6f}")
+
+
+if __name__ == "__main__":
+    main(parse_cli(EvalArgs, prog="eval_dataset.py"))
