@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: FastVLM-0.5B fastvla policy serving throughput (actions/sec/chip).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "actions/sec/chip", "vs_baseline": N}
+
+Workload: the §3.3 serving hot loop of the reference — one full policy step
+(image letterbox + FastViTHD encode + projector + Qwen2 prefill + pooled
+features + action head) per action, batched. The reference repo publishes no
+numbers (BASELINE.md); ``vs_baseline`` is measured against the documented
+A100-PyTorch estimate in BASELINE.md (``A100_EST_ACTIONS_PER_SEC``) until a
+real torch baseline run replaces it. Everything else (model, tokenizer,
+shapes) matches the reference's default serving configuration with
+chunk_size=1 (one VLM forward per env step,
+reference ``lerobot_fastvla/modeling_fastvla.py:113-125``).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+_ROOT = str(Path(__file__).resolve().parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+# Estimated PyTorch-reference throughput for FastVLM-0.5B fastvla serving on
+# one A100 (batch 16, 256px, chunk 1). Estimate — see BASELINE.md; replaced by
+# a measured number when an A100 torch run exists.
+A100_EST_ACTIONS_PER_SEC = 60.0
+
+
+@dataclass
+class BenchArgs:
+    model_id: str = "fastvlm-0.5b"
+    batch_size: int = 16
+    image_size: int = 256
+    tokenizer_max_length: int = 64
+    dtype: str = "bfloat16"
+    warmup: int = 3
+    iters: int = 20
+    device: Optional[str] = None  # e.g. "cpu" for local smoke
+
+
+def main(args: BenchArgs) -> None:
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLMWithExpert
+
+    config = FastVLAConfig(
+        vlm_model_name=args.model_id,
+        bootstrap_model_name=args.model_id,
+        image_size=args.image_size,
+        tokenizer_max_length=args.tokenizer_max_length,
+        dtype=args.dtype,
+        param_dtype=args.dtype,
+        dropout=0.0,
+    )
+    print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)
+    t0 = time.perf_counter()
+    model = FastVLMWithExpert(config)
+    print(f"[bench] init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    b = args.batch_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.random((b, 3, args.image_size, args.image_size), dtype=np.float32)
+    ).astype(model.backbone.model_config.text.dtype)
+    ids, mask = model.backbone._prep_text(["pick up the red block\n"] * b)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    states = jnp.zeros((b, config.state_dim), images.dtype)
+    params = model.params
+
+    step = jax.jit(model.apply_fn)
+
+    t0 = time.perf_counter()
+    for _ in range(args.warmup):
+        out = step(params, images, ids, mask, states)
+    out.block_until_ready()
+    print(f"[bench] warmup+compile {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(params, images, ids, mask, states)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    actions_per_sec = args.iters * b / elapsed
+    print(
+        f"[bench] {args.iters} iters x batch {b} in {elapsed:.3f}s "
+        f"({elapsed / args.iters * 1e3:.1f} ms/step)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"fastvla {args.model_id} serving throughput "
+                    f"(batch {b}, {args.image_size}px, chunk 1)"
+                ),
+                "value": round(actions_per_sec, 2),
+                "unit": "actions/sec/chip",
+                "vs_baseline": round(actions_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    from vla_fastvlm_tpu.utils.cli import parse_cli
+
+    main(parse_cli(BenchArgs, prog="bench.py"))

@@ -149,9 +149,10 @@ def load_tokenizer(model_id: str, padding_side: str = "right"):
     candidates = []
     if Path(model_id).is_dir():
         candidates.append(dict(pretrained_model_name_or_path=model_id))
-    candidates.append(
-        dict(pretrained_model_name_or_path=model_id, local_files_only=True)
-    )
+    if "/" in model_id:  # HF hub id (cache may hold it); bare aliases skip
+        candidates.append(
+            dict(pretrained_model_name_or_path=model_id, local_files_only=True)
+        )
     for kwargs in candidates:
         try:
             from transformers import AutoTokenizer

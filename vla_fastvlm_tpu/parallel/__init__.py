@@ -1,0 +1,31 @@
+"""Parallelism: mesh construction + GSPMD sharding rules (SURVEY.md §2.3)."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    initialize_distributed,
+    make_mesh,
+    single_device_mesh,
+)
+from .sharding import (
+    batch_shardings,
+    batch_spec,
+    param_shardings,
+    shard_batch,
+    shard_params,
+    spec_for_param,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_shardings",
+    "batch_spec",
+    "initialize_distributed",
+    "make_mesh",
+    "param_shardings",
+    "shard_batch",
+    "shard_params",
+    "single_device_mesh",
+    "spec_for_param",
+]

@@ -1,0 +1,102 @@
+"""Sharding rules: parameter/batch PartitionSpecs for the FastVLA stack.
+
+GSPMD-style: annotate shardings, let XLA insert the collectives (all-gather
+for TP-sharded matmul inputs, reduce-scatter/all-reduce for outputs and DP
+gradients) over ICI. This replaces the reference's NCCL DDP all-reduce
+(reference ``trainer.py:175``) and adds the TP dimension the reference lacks
+(SURVEY.md §2.3: Qwen2-7B bf16 ~14GB does not fit one v5e chip with
+activations/KV, so the 7B path requires model-axis sharding).
+
+TP layout for Qwen2 (Megatron-style column/row split, expressed as specs):
+- q/k/v/gate/up projections: output-feature dim on ``model`` (column).
+- o_proj/down projection: input-feature dim on ``model`` (row) — XLA emits
+  the psum at the block boundary.
+- embeddings, norms, action head: replicated (small).
+With ``nn.scan`` the decoder params carry a leading layer axis, handled by
+rank-aware spec padding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+# (path-suffix, spec on the trailing dims) — specs are right-aligned against
+# the param rank so the scan-stacked leading layer axis stays unsharded.
+_TP_RULES: tuple[tuple[tuple[str, ...], P], ...] = (
+    (("self_attn", "q_proj", "kernel"), P(None, MODEL_AXIS)),
+    (("self_attn", "q_proj", "bias"), P(MODEL_AXIS)),
+    (("self_attn", "k_proj", "kernel"), P(None, MODEL_AXIS)),
+    (("self_attn", "k_proj", "bias"), P(MODEL_AXIS)),
+    (("self_attn", "v_proj", "kernel"), P(None, MODEL_AXIS)),
+    (("self_attn", "v_proj", "bias"), P(MODEL_AXIS)),
+    (("self_attn", "o_proj", "kernel"), P(MODEL_AXIS, None)),
+    (("mlp", "gate_proj", "kernel"), P(None, MODEL_AXIS)),
+    (("mlp", "up_proj", "kernel"), P(None, MODEL_AXIS)),
+    (("mlp", "down_proj", "kernel"), P(MODEL_AXIS, None)),
+    (("lm_head", "kernel"), P(None, MODEL_AXIS)),
+)
+
+
+def _path_names(path) -> tuple[str, ...]:
+    names = []
+    for entry in path:
+        if isinstance(entry, jax.tree_util.DictKey):
+            names.append(str(entry.key))
+        else:
+            names.append(str(getattr(entry, "key", getattr(entry, "idx", entry))))
+    return tuple(names)
+
+
+def spec_for_param(path_names: tuple[str, ...], ndim: int) -> P:
+    """PartitionSpec for one parameter, right-aligned to its rank."""
+    for suffix, spec in _TP_RULES:
+        if path_names[-len(suffix):] == suffix:
+            pad = ndim - len(spec)
+            if pad < 0:
+                return P()
+            return P(*([None] * pad + list(spec)))
+    return P()  # replicate
+
+
+def param_shardings(mesh: Mesh, params: Dict) -> Dict:
+    """Pytree of NamedShardings matching ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, spec_for_param(_path_names(path), getattr(leaf, "ndim", 0))
+        ),
+        params,
+    )
+
+
+def batch_spec() -> P:
+    """Batch arrays: leading dim over ``data``."""
+    return P(DATA_AXIS)
+
+
+def batch_shardings(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        key: NamedSharding(mesh, P(DATA_AXIS) if getattr(v, "ndim", 0) > 0 else P())
+        for key, v in arrays.items()
+    }
+
+
+def shard_params(mesh: Mesh, params: Dict) -> Dict:
+    """Place a parameter pytree onto the mesh per the TP rules."""
+    shardings = param_shardings(mesh, params)
+    return jax.device_put(params, shardings)
+
+
+def shard_batch(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
+    """Place batch arrays with the leading dim split over ``data``."""
+    return {
+        key: jax.device_put(
+            value,
+            NamedSharding(mesh, P(DATA_AXIS) if getattr(value, "ndim", 0) > 0 else P()),
+        )
+        for key, value in arrays.items()
+    }
