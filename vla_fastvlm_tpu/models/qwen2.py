@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import dot_product_attention, make_attention_bias
+from ..ops.attention import attention, make_attention_bias
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
 
@@ -118,7 +118,8 @@ class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, cache_k, cache_v, cache_index):
+    def __call__(self, x, bias, kv_mask, causal, cos, sin, cache_k, cache_v,
+                 cache_index):
         cfg = self.cfg
         b, t, _ = x.shape
         n, k_heads, d = (
@@ -150,7 +151,15 @@ class Qwen2Attention(nn.Module):
         else:
             new_cache = (None, None)
 
-        out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias=bias)
+        out = attention(
+            q,
+            k.astype(q.dtype),
+            v.astype(q.dtype),
+            bias=bias,
+            kv_mask=kv_mask,
+            causal=causal,
+            impl=cfg.attention_impl,
+        )
         out = out.reshape(b, t, n * d)
         out = dense(cfg.hidden_size, False, "o_proj")(out)
         return out, new_cache
@@ -189,12 +198,13 @@ class Qwen2Block(nn.Module):
     cfg: Qwen2Config
 
     @nn.compact
-    def __call__(self, x, bias, cos, sin, cache_k, cache_v, cache_index):
+    def __call__(self, x, bias, kv_mask, causal, cos, sin, cache_k, cache_v,
+                 cache_index):
         cfg = self.cfg
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
                     name="input_layernorm")(x)
         attn_out, new_cache = Qwen2Attention(cfg, name="self_attn")(
-            h, bias, cos, sin, cache_k, cache_v, cache_index
+            h, bias, kv_mask, causal, cos, sin, cache_k, cache_v, cache_index
         )
         x = x + attn_out
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
@@ -257,6 +267,8 @@ class Qwen2Model(nn.Module):
         cos, sin = rope_cos_sin(positions, cfg.resolved_head_dim, cfg.rope_theta, cfg.dtype)
 
         if cache is not None:
+            # KV-cached decode: arbitrary query positions vs the whole cache
+            # -> additive-bias (XLA) attention path.
             s = cache["k"].shape[2]
             kv_mask = jax.lax.dynamic_update_slice(
                 cache["mask"].astype(jnp.int32),
@@ -267,10 +279,14 @@ class Qwen2Model(nn.Module):
                 jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
             )
             bias = make_attention_bias(positions, kv_positions, kv_mask, causal=causal)
+            attn_kv_mask = None
             cache_k, cache_v, cache_index = cache["k"], cache["v"], cache["index"]
         else:
+            # Prefill: structured mask (key padding + causal-by-position) ->
+            # eligible for the Pallas flash kernel on TPU.
             kv_mask = attention_mask
-            bias = make_attention_bias(positions, positions, kv_mask, causal=causal)
+            bias = None
+            attn_kv_mask = kv_mask
             cache_k = cache_v = cache_index = None
 
         block_cls = Qwen2Block
@@ -282,12 +298,14 @@ class Qwen2Model(nn.Module):
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, 0, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, 0, 0, nn.broadcast),
                 out_axes=0,
                 length=cfg.num_hidden_layers,
             )
             x, stacked_cache = scanned(cfg, name="layers")(
-                x, bias, cos, sin, cache_k, cache_v, cache_index
+                x, bias, attn_kv_mask, causal, cos, sin, cache_k, cache_v,
+                cache_index
             )
             new_k, new_v = stacked_cache
         else:
@@ -296,7 +314,7 @@ class Qwen2Model(nn.Module):
                 ck = cache_k[i] if cache_k is not None else None
                 cv = cache_v[i] if cache_v is not None else None
                 x, (nk, nv) = block_cls(cfg, name=f"layers_{i}")(
-                    x, bias, cos, sin, ck, cv, cache_index
+                    x, bias, attn_kv_mask, causal, cos, sin, ck, cv, cache_index
                 )
                 new_ks.append(nk)
                 new_vs.append(nv)

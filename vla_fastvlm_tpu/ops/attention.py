@@ -70,3 +70,39 @@ def dot_product_attention(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnts,bsnd->btnd", probs.astype(v.dtype), v)
     return out
+
+
+def attention(
+    q: jnp.ndarray,  # (B, T, N, D)
+    k: jnp.ndarray,  # (B, S, K, D)
+    v: jnp.ndarray,  # (B, S, K, D)
+    *,
+    bias: jnp.ndarray | None = None,
+    kv_mask: jnp.ndarray | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention entry point with Pallas flash dispatch.
+
+    Two mask interfaces:
+    - structured (``kv_mask`` + ``causal``, prefill layout): eligible for the
+      fused Pallas TPU kernel (``ops/pallas/flash_attention.py``);
+    - additive ``bias`` (arbitrary positions, KV-cache decode): always the
+      XLA path. ``impl``: "auto" picks flash on TPU when applicable, "flash"
+      forces it where supported, "xla" disables it.
+    """
+    if bias is None and kv_mask is not None and impl in ("auto", "flash"):
+        from .pallas.flash_attention import flash_attention, supports_flash
+
+        if supports_flash(q.shape, k.shape):
+            return flash_attention(q, k, v, kv_mask, causal, scale)
+
+    if bias is None:
+        b, t = q.shape[0], q.shape[1]
+        s = k.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        kv_positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+        mask = kv_mask if kv_mask is not None else jnp.ones((b, s), jnp.int32)
+        bias = make_attention_bias(positions, kv_positions, mask, causal=causal)
+    return dot_product_attention(q, k, v, bias=bias, scale=scale)
