@@ -83,15 +83,25 @@ def main(args: BenchArgs) -> None:
 
     step = jax.jit(model.apply_fn)
 
+    # Chain each step's output into the next step's state input so iterations
+    # cannot be deduplicated or overlapped — the loop measures true serialized
+    # step latency (state_dim == action_dim in the reference default).
+    def chained(params, images, ids, mask, states):
+        out = step(params, images, ids, mask, states)
+        if out.shape == states.shape:
+            return out.astype(states.dtype)
+        return states + out.sum() * 0
+
     t0 = time.perf_counter()
     for _ in range(args.warmup):
-        out = step(params, images, ids, mask, states)
-    out.block_until_ready()
+        states = chained(params, images, ids, mask, states)
+    states.block_until_ready()
     print(f"[bench] warmup+compile {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = step(params, images, ids, mask, states)
+        states = chained(params, images, ids, mask, states)
+    out = states
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 

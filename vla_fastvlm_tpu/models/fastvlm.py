@@ -102,42 +102,56 @@ class MMProjector(nn.Module):
 class FastVLM(nn.Module):
     """Pixels + tokenized instruction -> decoder hidden states.
 
-    Returns ``(hidden, seq_mask, text_mask)`` where ``hidden`` is the
-    post-final-norm hidden sequence (HF ``hidden_states[-1]``, what the
+    ``__call__`` returns ``(hidden, seq_mask, text_mask)`` where ``hidden`` is
+    the post-final-norm hidden sequence (HF ``hidden_states[-1]``, what the
     reference pools at ``fastvlm_adapter.py:551-560``), ``seq_mask`` marks
     real positions of the full multimodal sequence, and ``text_mask`` marks
     text positions within it (for reference-parity pooling).
+
+    ``prefill``/``decode_step`` expose the KV-cached generation path (the
+    reference has no generation API — its backbone only pools features — but
+    the underlying checkpoint is a full VLM; serving uses these for
+    autoregressive decoding, ``vla_fastvlm_tpu/serving``).
     """
 
     cfg: FastVLMConfig
 
-    @nn.compact
-    def __call__(
-        self,
-        images: Optional[jnp.ndarray],  # (B, 3, S, S) or (B, S, S, 3); None ok
-        input_ids: jnp.ndarray,  # (B, T)
-        attention_mask: Optional[jnp.ndarray] = None,  # (B, T), 1 = real
-        deterministic: bool = True,
-    ):
+    def setup(self):
+        cfg = self.cfg
+        self.language_model = Qwen2Model(cfg.text)
+        if cfg.num_image_tokens > 0:
+            self.vision_tower = FastViTHD(cfg.vision)
+            self.mm_projector = MMProjector(
+                cfg.text.hidden_size, cfg.text.dtype, cfg.text.param_dtype
+            )
+        if not cfg.text.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.text.vocab_size,
+                use_bias=False,
+                dtype=cfg.text.dtype,
+                param_dtype=cfg.text.param_dtype,
+            )
+
+    def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, 3, S, S) -> (B, N_img, H) projected visual tokens."""
+        vision_tokens = self.vision_tower(images)
+        return self.mm_projector(vision_tokens)
+
+    def _splice(self, images, input_ids, attention_mask):
         cfg = self.cfg
         b, t = input_ids.shape
         if attention_mask is None:
             attention_mask = jnp.ones((b, t), jnp.int32)
         attention_mask = attention_mask.astype(jnp.int32)
 
-        decoder = Qwen2Model(cfg.text, name="language_model")
-        # Pull the embedding table through the decoder's own embedder so the
-        # parameter tree matches the HF checkpoint layout (model.embed_tokens).
-        text_embeds = decoder.embed(input_ids)
+        # Embedding goes through the decoder's own table so the parameter
+        # tree matches the HF checkpoint layout (model.embed_tokens).
+        text_embeds = self.language_model.embed(input_ids)
 
         n_img = cfg.num_image_tokens
         if n_img > 0:
             assert images is not None, "image_token_mode=prefix requires images"
-            vision_tokens = FastViTHD(cfg.vision, name="vision_tower")(images)
-            image_embeds = MMProjector(
-                cfg.text.hidden_size, cfg.text.dtype, cfg.text.param_dtype,
-                name="mm_projector",
-            )(vision_tokens)
+            image_embeds = self.encode_images(images)
             inputs_embeds = jnp.concatenate(
                 [image_embeds.astype(text_embeds.dtype), text_embeds], axis=1
             )
@@ -150,13 +164,75 @@ class FastVLM(nn.Module):
             inputs_embeds = text_embeds
             seq_mask = attention_mask
             text_mask = attention_mask
+        return inputs_embeds, seq_mask, text_mask
 
-        hidden, _, _ = decoder(
+    def __call__(
+        self,
+        images: Optional[jnp.ndarray],  # (B, 3, S, S) or (B, S, S, 3); None ok
+        input_ids: jnp.ndarray,  # (B, T)
+        attention_mask: Optional[jnp.ndarray] = None,  # (B, T), 1 = real
+        deterministic: bool = True,
+    ):
+        inputs_embeds, seq_mask, text_mask = self._splice(
+            images, input_ids, attention_mask
+        )
+        hidden, _, _ = self.language_model(
             inputs_embeds=inputs_embeds,
             attention_mask=seq_mask,
             causal=True,
         )
         return hidden, seq_mask, text_mask
+
+    def _logits(self, hidden: jnp.ndarray, tied_logits) -> jnp.ndarray:
+        if self.cfg.text.tie_word_embeddings:
+            return tied_logits
+        return self.lm_head(hidden)
+
+    def prefill(
+        self,
+        images: Optional[jnp.ndarray],
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray],
+        cache: dict,
+    ):
+        """Multimodal prefill into a KV cache.
+
+        Returns ``(last_logits, hidden, new_cache, seq_mask, text_mask)``
+        where ``last_logits`` is (B, V) at each sequence's true last position.
+        """
+        inputs_embeds, seq_mask, text_mask = self._splice(
+            images, input_ids, attention_mask
+        )
+        hidden, new_cache, tied = self.language_model(
+            inputs_embeds=inputs_embeds,
+            attention_mask=seq_mask,
+            cache=cache,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        logits = self._logits(hidden, tied)
+        lengths = seq_mask.sum(axis=1)
+        idx = jnp.clip(lengths - 1, 0, None)
+        last_logits = jnp.take_along_axis(
+            logits, idx[:, None, None], axis=1
+        )[:, 0, :]
+        # The decode clock starts at each sequence's true length, not the
+        # padded width: overwrite the cache index with max length so decode
+        # appends after the longest sequence (right padding keeps per-example
+        # key masks correct via the stored kv mask).
+        return last_logits, hidden, new_cache, seq_mask, text_mask
+
+    def decode_step(self, input_ids: jnp.ndarray, cache: dict):
+        """One KV-cached decode step: (B, 1) token ids -> (B, V) logits."""
+        hidden, new_cache, tied = self.language_model(
+            input_ids=input_ids,
+            attention_mask=jnp.ones_like(input_ids, dtype=jnp.int32),
+            cache=cache,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        logits = self._logits(hidden, tied)
+        return logits[:, -1, :], new_cache
 
 
 def pool_hidden(

@@ -39,11 +39,11 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(
-    q_ref,  # (1, block_q, 1, D)
-    k_ref,  # (1, S, 1, D)
-    v_ref,  # (1, S, 1, D)
-    mask_ref,  # (1, S) int32 key validity
-    o_ref,  # (1, block_q, 1, D)
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, S, D)
+    v_ref,  # (1, 1, S, D)
+    mask_ref,  # (1, 1, S) int32 key validity
+    o_ref,  # (1, 1, block_q, D)
     *,
     scale: float,
     causal: bool,
@@ -52,9 +52,9 @@ def _attn_kernel(
 ):
     qb = pl.program_id(2)
 
-    q = q_ref[0, :, 0, :]  # (block_q, D)
-    k = k_ref[0, :, 0, :]  # (S, D)
-    v = v_ref[0, :, 0, :]  # (S, D)
+    q = q_ref[0, 0]  # (block_q, D)
+    k = k_ref[0, 0]  # (S, D)
+    v = v_ref[0, 0]  # (S, D)
 
     logits = jax.lax.dot_general(
         q,
@@ -64,7 +64,7 @@ def _attn_kernel(
     )  # (block_q, S)
     logits = logits * scale
 
-    kv_valid = mask_ref[0, :] > 0  # (S,)
+    kv_valid = mask_ref[0, 0, :] > 0  # (S,)
     allowed = jnp.broadcast_to(kv_valid[None, :], (block_q, seq_k))
     if causal:
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
@@ -82,7 +82,7 @@ def _attn_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (block_q, D)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _flash_attention_forward(
@@ -98,14 +98,22 @@ def _flash_attention_forward(
     s, kh = k.shape[1], k.shape[2]
     rep = n // kh
 
+    # TPU tiling wants the (sublane, lane) dims of every block to be the last
+    # two, sized in multiples of (8, 128) or the full array dim. Fold heads
+    # next to batch: (B, T, N, D) -> (B, N, T, D) so blocks are (bq, D) tiles.
+    q = jnp.transpose(q, (0, 2, 1, 3))
+    k = jnp.transpose(k, (0, 2, 1, 3))
+    v = jnp.transpose(v, (0, 2, 1, 3))
+
     # Pad T up to a block multiple; padded queries attend normally (keys are
     # masked, not queries) and are sliced off after.
     t_pad = -t % block_q
     if t_pad:
-        q = jnp.pad(q, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
     t_full = t + t_pad
 
     grid = (b, n, t_full // block_q)
+    mask3 = kv_mask.astype(jnp.int32)[:, None, :]  # (B, 1, S)
 
     out = pl.pallas_call(
         functools.partial(
@@ -118,37 +126,37 @@ def _flash_attention_forward(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, 1, d),
-                lambda bi, hi, qi: (bi, qi, hi, 0),
+                (1, 1, block_q, d),
+                lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s, 1, d),
-                lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+                (1, 1, s, d),
+                lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s, 1, d),
-                lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+                (1, 1, s, d),
+                lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s),
-                lambda bi, hi, qi: (bi, 0),
+                (1, 1, s),
+                lambda bi, hi, qi: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, 1, d),
-            lambda bi, hi, qi: (bi, qi, hi, 0),
+            (1, 1, block_q, d),
+            lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t_full, n, d), q.dtype),
-    )(q, k, v, kv_mask.astype(jnp.int32))
+        out_shape=jax.ShapeDtypeStruct((b, n, t_full, d), q.dtype),
+    )(q, k, v, mask3)
 
     if t_pad:
-        out = out[:, :t]
-    return out
+        out = out[:, :, :t]
+    return jnp.transpose(out, (0, 2, 1, 3))
 
 
 def _xla_reference(q, k, v, kv_mask, causal, scale):
@@ -188,7 +196,10 @@ def flash_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    block_q = min(block_q, max(8, q.shape[1]))
+    # Sublane-align the query block: multiple of 16 covers bf16 (16) and
+    # fp32 (8) tile minima.
+    aligned_t = -(-q.shape[1] // 16) * 16
+    block_q = min(block_q, max(16, aligned_t))
     return _flash_attention_forward(q, k, v, kv_mask, causal, scale, block_q)
 
 
