@@ -50,6 +50,9 @@ class FastVLAConfig:
     train_backbone: bool = False
     # chunk_size > 1 emits (chunk, action_dim) per forward (action chunking).
     chunk_size: int = 1
+    # Cameras per observation; >1 expects (B, ncam, C, H, W) batches and
+    # concatenates per-view visual tokens (multi-camera ALOHA).
+    num_cameras: int = 1
     seed: int = 0
 
     def to_backbone_config(self) -> FastVLMBackboneConfig:
@@ -69,5 +72,6 @@ class FastVLAConfig:
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             train_backbone=self.train_backbone,
+            num_cameras=self.num_cameras,
             seed=self.seed,
         )

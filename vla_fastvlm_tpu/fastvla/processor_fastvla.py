@@ -36,7 +36,13 @@ class FastVLAProcessor:
 
     def prepare_images(self, images, device: Optional[jax.Device] = None) -> np.ndarray:
         images = np.asarray(images, dtype=np.float32)
-        if images.ndim == 5:  # (B, T, C, H, W): keep the latest step
+        ncam = self.config.num_cameras
+        if ncam > 1:
+            # multi-camera layout: (B, ncam, C, H, W), time-major adds T in
+            # front -> (B, T, ncam, C, H, W)
+            if images.ndim == 6:
+                images = images[:, -1]
+        elif images.ndim == 5:  # (B, T, C, H, W): keep the latest step
             images = images[:, -1]
         return self.backbone._as_bchw(images)
 

@@ -87,6 +87,9 @@ class FastVLMBackboneConfig:
     param_dtype: str = "float32"
     # Truly train the backbone (reference always stop-grads it).
     train_backbone: bool = False
+    # Cameras per observation; >1 expects (B, ncam, C, H, W) image batches
+    # and concatenates per-view visual tokens.
+    num_cameras: int = 1
     seed: int = 0
 
 
@@ -133,7 +136,8 @@ class FastVLMBackbone:
                 "size (e.g. 1024) or leave it unset (None) for auto-detection."
             )
         self.model_config = self.model_config.replace(
-            image_size=int(self.expected_size)
+            image_size=int(self.expected_size),
+            num_cameras=int(cfg.num_cameras),
         )
 
         self.model = FastVLM(self.model_config)
@@ -171,11 +175,17 @@ class FastVLMBackbone:
         cfg = self.model_config
         b, t = 1, self.config.tokenizer_max_length
         dummy_ids = jnp.zeros((b, t), jnp.int32)
-        dummy_imgs = (
-            jnp.zeros((b, 3, cfg.image_size, cfg.image_size), cfg.text.dtype)
-            if cfg.num_image_tokens > 0
-            else None
-        )
+        if cfg.num_image_tokens == 0:
+            dummy_imgs = None
+        elif cfg.num_cameras > 1:
+            dummy_imgs = jnp.zeros(
+                (b, cfg.num_cameras, 3, cfg.image_size, cfg.image_size),
+                cfg.text.dtype,
+            )
+        else:
+            dummy_imgs = jnp.zeros(
+                (b, 3, cfg.image_size, cfg.image_size), cfg.text.dtype
+            )
         variables = self.model.init(
             jax.random.PRNGKey(self.config.seed), dummy_imgs, dummy_ids
         )
@@ -267,6 +277,10 @@ class FastVLMBackbone:
             return np.stack([one_to_chw(img) for img in images], axis=0)
         arr = np.asarray(images) if not isinstance(images, (np.ndarray, jnp.ndarray)) else images
         arr = np.asarray(arr)
+        if arr.ndim == 5:  # (B, ncam, C, H, W) multi-camera batch
+            if arr.shape[-1] in (1, 3) and arr.shape[2] not in (1, 3):
+                arr = np.transpose(arr, (0, 1, 4, 2, 3))
+            return arr.astype(np.float32)
         if arr.ndim == 4:
             if arr.shape[-1] in (1, 3) and arr.shape[1] not in (1, 3):
                 arr = np.transpose(arr, (0, 3, 1, 2))
@@ -280,14 +294,27 @@ class FastVLMBackbone:
         cfg = self.config
         mcfg = self.model_config
         if mcfg.num_image_tokens > 0:
-            images = prepare_image_batch(
-                images,
-                size=mcfg.image_size,
-                resize_with_padding=cfg.resize_with_padding,
-                pad_value=cfg.pad_value,
-                normalize=cfg.normalize_imagenet,
-                dtype=mcfg.text.dtype,
-            )
+            if mcfg.num_cameras > 1:
+                b, ncam = images.shape[:2]
+                folded = images.reshape((b * ncam,) + images.shape[2:])
+                folded = prepare_image_batch(
+                    folded,
+                    size=mcfg.image_size,
+                    resize_with_padding=cfg.resize_with_padding,
+                    pad_value=cfg.pad_value,
+                    normalize=cfg.normalize_imagenet,
+                    dtype=mcfg.text.dtype,
+                )
+                images = folded.reshape((b, ncam) + folded.shape[1:])
+            else:
+                images = prepare_image_batch(
+                    images,
+                    size=mcfg.image_size,
+                    resize_with_padding=cfg.resize_with_padding,
+                    pad_value=cfg.pad_value,
+                    normalize=cfg.normalize_imagenet,
+                    dtype=mcfg.text.dtype,
+                )
         else:
             images = None
         hidden, seq_mask, text_mask = self.model.apply(

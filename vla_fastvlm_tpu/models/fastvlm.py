@@ -48,13 +48,18 @@ class FastVLMConfig:
     # reference ``fastvlm_adapter.py:300-335``).
     image_size: int = 1024
     image_token_mode: str = "prefix"  # "prefix" | "none"
+    # Cameras per observation. >1 encodes each view through the (shared)
+    # tower and concatenates the visual tokens (multi-camera ALOHA setups;
+    # the reference consumes only the first camera,
+    # ``lerobot_fastvla/modeling_fastvla.py:82``).
+    num_cameras: int = 1
 
     @property
     def num_image_tokens(self) -> int:
         if self.image_token_mode == "none":
             return 0
         side = self.image_size // self.vision.downsample_factor
-        return side * side
+        return self.num_cameras * side * side
 
     @property
     def hidden_size(self) -> int:
@@ -133,9 +138,20 @@ class FastVLM(nn.Module):
             )
 
     def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(B, 3, S, S) -> (B, N_img, H) projected visual tokens."""
-        vision_tokens = self.vision_tower(images)
-        return self.mm_projector(vision_tokens)
+        """(B, 3, S, S) or (B, ncam, 3, S, S) -> (B, N_img, H) visual tokens.
+
+        Multi-camera batches fold views into the batch dim for one shared
+        tower pass (one big MXU-friendly conv batch), then concatenate the
+        per-view token sequences.
+        """
+        if images.ndim == 5:
+            b, ncam = images.shape[:2]
+            folded = images.reshape((b * ncam,) + images.shape[2:])
+            tokens = self.vision_tower(folded)
+            tokens = tokens.reshape(b, ncam * tokens.shape[1], tokens.shape[2])
+        else:
+            tokens = self.vision_tower(images)
+        return self.mm_projector(tokens)
 
     def _splice(self, images, input_ids, attention_mask):
         cfg = self.cfg

@@ -71,6 +71,15 @@ class TrainingConfig:
     gradient_checkpointing: bool = False
     report_to: list[str] = field(default_factory=lambda: ["tensorboard"])
 
+    # --- TPU-native observability (SURVEY.md §5: tracing/profiling + the
+    # functional-stack analog of race detection) ---
+    # Capture a jax.profiler trace for steps [profile_start_step,
+    # profile_start_step + profile_num_steps) into <output_dir>/logs/profile.
+    profile_start_step: Optional[int] = None
+    profile_num_steps: int = 3
+    # Raise on NaN from any jitted computation (jax debug_nans).
+    debug_nans: bool = False
+
 
 class Trainer:
     """Lightweight trainer tailored for FastVLM policy fine-tuning."""
@@ -84,6 +93,8 @@ class Trainer:
     ) -> None:
         self.config = config or TrainingConfig()
         self._validate_precision()
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
         self.model = model
         self.train_dataloader = train_dataloader
@@ -234,9 +245,28 @@ class Trainer:
             self._writer.close()
         self._metrics_file.close()
 
+    def _maybe_profile(self) -> None:
+        cfg = self.config
+        if cfg.profile_start_step is None:
+            return
+        if self.global_step == cfg.profile_start_step:
+            profile_dir = str(Path(cfg.output_dir) / "logs" / "profile")
+            logger.info("Starting jax.profiler trace -> %s", profile_dir)
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
+        elif (
+            getattr(self, "_profiling", False)
+            and self.global_step >= cfg.profile_start_step + cfg.profile_num_steps
+        ):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("Stopped jax.profiler trace")
+
     def _train_one_epoch(self) -> None:
         cfg = self.config
         for batch in self.train_dataloader:
+            self._maybe_profile()
+            step_start = time.perf_counter()
             arrays = self.model.prepare_batch(batch)
             self._rng, step_rng = jax.random.split(self._rng)
             self.trainable, self.opt_state, metrics = self._train_step(
@@ -248,13 +278,16 @@ class Trainer:
 
             if self.global_step % cfg.logging_steps == 0:
                 updates = self.global_step // cfg.gradient_accumulation_steps
+                # Force metric materialization so step_time covers device work.
+                loss_value = float(metrics["loss"])
                 self._log(
                     {
-                        "train/loss": metrics["loss"],
+                        "train/loss": loss_value,
                         "train/mse": metrics["mse"],
                         "train/grad_norm": metrics["grad_norm"],
                         "train/lr": float(self._schedule(updates)),
                         "train/epoch": self.epoch,
+                        "train/step_time_s": time.perf_counter() - step_start,
                     },
                     step=self.global_step,
                 )
