@@ -86,6 +86,10 @@ class TrainArgs:
     # The env may pin JAX_PLATFORMS before interpreter start, so this goes
     # through jax.config (same trick as tests/conftest.py).
     device: Optional[str] = None
+    # Mesh axes: dp * tp must equal the device count (dp=-1 = absorb all
+    # devices not taken by tp). tp>1 shards the Qwen2 decoder (7B path).
+    dp: int = -1
+    tp: int = 1
 
 
 def main(args: TrainArgs) -> None:
@@ -194,11 +198,21 @@ def main(args: TrainArgs) -> None:
         seed=args.seed,
     )
 
+    mesh = None
+    import jax
+
+    if args.tp > 1 or len(jax.devices()) > 1:
+        from vla_fastvlm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.dp, model=args.tp)
+        logger.info("Training on mesh %s", dict(mesh.shape))
+
     trainer = Trainer(
         model=policy,
         train_dataloader=train_loader,
         eval_dataloader=eval_loader,
         config=trainer_config,
+        mesh=mesh,
     )
     trainer.fit()
 

@@ -90,7 +90,13 @@ class Trainer:
         train_dataloader: Iterable[Dict],
         eval_dataloader: Optional[Iterable[Dict]] = None,
         config: TrainingConfig | None = None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` ("data" x "model"). When
+        given, parameters are placed per the TP rules and every batch is
+        split over the data axis — GSPMD inserts the DP gradient all-reduce
+        and TP collectives (the role of the reference's Accelerate/DDP/NCCL
+        stack, ``trainer.py:55,68-78,175``)."""
         self.config = config or TrainingConfig()
         self._validate_precision()
         if self.config.debug_nans:
@@ -99,6 +105,7 @@ class Trainer:
         self.model = model
         self.train_dataloader = train_dataloader
         self.eval_dataloader = eval_dataloader
+        self.mesh = mesh
 
         self.num_training_steps = self._compute_total_training_steps()
         warmup_steps = int(self.num_training_steps * self.config.warmup_ratio)
@@ -124,6 +131,13 @@ class Trainer:
 
         self.trainable = model.trainable_params()
         self.frozen = model.frozen_params()
+        if self.mesh is not None:
+            from ..parallel import shard_params
+
+            # Sharded init: opt state inherits the param shardings through
+            # zeros_like et al.
+            self.trainable = shard_params(self.mesh, self.trainable)
+            self.frozen = shard_params(self.mesh, self.frozen)
         self.opt_state = tx.init(self.trainable)
 
         self._rng = jax.random.PRNGKey(self.config.seed)
@@ -268,6 +282,7 @@ class Trainer:
             self._maybe_profile()
             step_start = time.perf_counter()
             arrays = self.model.prepare_batch(batch)
+            arrays = self._place_batch(arrays)
             self._rng, step_rng = jax.random.split(self._rng)
             self.trainable, self.opt_state, metrics = self._train_step(
                 self.trainable, self.opt_state, self.frozen, arrays, step_rng
@@ -302,6 +317,13 @@ class Trainer:
             if cfg.max_steps and self.global_step >= cfg.max_steps:
                 break
 
+    def _place_batch(self, arrays: Dict) -> Dict:
+        if self.mesh is None:
+            return arrays
+        from ..parallel import shard_batch
+
+        return shard_batch(self.mesh, arrays)
+
     def evaluate(self) -> Dict[str, float]:
         """Sample-weighted mean eval MSE (parity: reference ``trainer.py:208-221``)."""
         if self.eval_dataloader is None:
@@ -309,7 +331,7 @@ class Trainer:
         total_loss = 0.0
         total_count = 0
         for batch in self.eval_dataloader:
-            arrays = self.model.prepare_batch(batch)
+            arrays = self._place_batch(self.model.prepare_batch(batch))
             metrics = self._eval_step(self.trainable, self.frozen, arrays)
             n = arrays["actions"].shape[0]
             total_loss += float(metrics["mse"]) * n
