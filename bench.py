@@ -83,9 +83,9 @@ def main(args: BenchArgs) -> None:
 
     step = jax.jit(model.apply_fn)
 
-    # Chain each step's output into the next step's state input so iterations
-    # cannot be deduplicated or overlapped — the loop measures true serialized
-    # step latency (state_dim == action_dim in the reference default).
+    # Chain each step's output into the next state input AND synchronize every
+    # iteration: closed-loop serving semantics (act -> observe -> act), and
+    # async dispatch pipelining/elision cannot flatter the number.
     def chained(params, images, ids, mask, states):
         out = step(params, images, ids, mask, states)
         if out.shape == states.shape:
@@ -95,20 +95,22 @@ def main(args: BenchArgs) -> None:
     t0 = time.perf_counter()
     for _ in range(args.warmup):
         states = chained(params, images, ids, mask, states)
-    states.block_until_ready()
+        states.block_until_ready()
     print(f"[bench] warmup+compile {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
+    latencies = []
     for _ in range(args.iters):
+        t0 = time.perf_counter()
         states = chained(params, images, ids, mask, states)
-    out = states
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        states.block_until_ready()
+        latencies.append(time.perf_counter() - t0)
+    elapsed = sum(latencies)
+    p50 = sorted(latencies)[len(latencies) // 2]
 
     actions_per_sec = args.iters * b / elapsed
     print(
         f"[bench] {args.iters} iters x batch {b} in {elapsed:.3f}s "
-        f"({elapsed / args.iters * 1e3:.1f} ms/step)",
+        f"(p50 {p50 * 1e3:.1f} ms/step, mean {elapsed / args.iters * 1e3:.1f} ms)",
         file=sys.stderr,
     )
     print(
