@@ -37,7 +37,9 @@ A100_EST_ACTIONS_PER_SEC = 60.0
 @dataclass
 class BenchArgs:
     model_id: str = "fastvlm-0.5b"
-    batch_size: int = 16
+    # Fleet-serving batch: large enough to amortize per-dispatch overhead
+    # (the tunnel RTT in this environment — reported on stderr).
+    batch_size: int = 64
     image_size: int = 256
     tokenizer_max_length: int = 64
     dtype: str = "bfloat16"
@@ -83,6 +85,19 @@ def main(args: BenchArgs) -> None:
 
     step = jax.jit(model.apply_fn)
 
+    # Dispatch-overhead floor (tunnel RTT on remote backends): time a trivial
+    # jitted op with a host fetch. Reported for transparency; not subtracted.
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    np.asarray(tiny(z))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny(z))
+        rtts.append(time.perf_counter() - t0)
+    print(f"[bench] dispatch+fetch floor p50 {sorted(rtts)[2] * 1e3:.1f} ms",
+          file=sys.stderr)
+
     # Chain each step's output into the next state input AND synchronize every
     # iteration: closed-loop serving semantics (act -> observe -> act), and
     # async dispatch pipelining/elision cannot flatter the number.
@@ -92,17 +107,21 @@ def main(args: BenchArgs) -> None:
             return out.astype(states.dtype)
         return states + out.sum() * 0
 
+    # NOTE: each iteration ends with a device->host fetch of the (tiny)
+    # action array, not just block_until_ready — on tunneled/remote PJRT
+    # backends only a data fetch provably awaits execution, and in real
+    # closed-loop serving the robot controller reads the actions anyway.
     t0 = time.perf_counter()
     for _ in range(args.warmup):
         states = chained(params, images, ids, mask, states)
-        states.block_until_ready()
+        np.asarray(states)
     print(f"[bench] warmup+compile {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     latencies = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         states = chained(params, images, ids, mask, states)
-        states.block_until_ready()
+        np.asarray(states)
         latencies.append(time.perf_counter() - t0)
     elapsed = sum(latencies)
     p50 = sorted(latencies)[len(latencies) // 2]

@@ -68,6 +68,51 @@ class TestGenerate:
             np.asarray(step_logits), np.asarray(full_last), atol=2e-4
         )
 
+    def test_ragged_batch_decode_matches_unpadded(self, vlm):
+        """Decode after a right-padded batched prefill must equal decoding
+        each example alone without padding (RoPE on true lengths, causality
+        on cache slots)."""
+        cfg, model, params = vlm
+        rng = np.random.default_rng(3)
+        len_a, len_b, width = 3, 6, 6
+        ids_a = rng.integers(3, 100, (1, len_a)).astype(np.int32)
+        ids_b = rng.integers(3, 100, (1, len_b)).astype(np.int32)
+        imgs = jnp.asarray(rng.random((2, 3, 64, 64), dtype=np.float32))
+
+        # batched, right-padded
+        ids = np.zeros((2, width), np.int32)
+        mask = np.zeros((2, width), np.int32)
+        ids[0, :len_a], mask[0, :len_a] = ids_a, 1
+        ids[1, :len_b], mask[1, :len_b] = ids_b, 1
+        cache = build_cache(cfg, 2, width, 2)
+        last, _, cache, _, _ = model.apply(
+            {"params": params}, imgs, jnp.asarray(ids), jnp.asarray(mask),
+            cache, method=FastVLM.prefill,
+        )
+        tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        step_logits, _ = model.apply(
+            {"params": params}, tok[:, None], cache, method=FastVLM.decode_step
+        )
+
+        # each example alone, unpadded
+        for row, (one_ids, n) in enumerate([(ids_a, len_a), (ids_b, len_b)]):
+            cache1 = build_cache(cfg, 1, n, 2)
+            last1, _, cache1, _, _ = model.apply(
+                {"params": params}, imgs[row:row + 1], jnp.asarray(one_ids),
+                jnp.ones((1, n), jnp.int32), cache1, method=FastVLM.prefill,
+            )
+            np.testing.assert_allclose(
+                np.asarray(last[row]), np.asarray(last1[0]), atol=2e-4
+            )
+            tok1 = jnp.argmax(last1, axis=-1).astype(jnp.int32)
+            logits1, _ = model.apply(
+                {"params": params}, tok1[:, None], cache1,
+                method=FastVLM.decode_step,
+            )
+            np.testing.assert_allclose(
+                np.asarray(step_logits[row]), np.asarray(logits1[0]), atol=2e-4
+            )
+
     def test_eos_padding(self, vlm):
         cfg, model, params = vlm
         ids = jnp.ones((1, 4), jnp.int32) * 5

@@ -259,10 +259,20 @@ class Qwen2Model(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((b, t), jnp.int32)
         if positions is None:
-            base = jnp.arange(t, dtype=jnp.int32)[None, :]
             if cache is not None:
-                base = base + cache["index"]
-            positions = jnp.broadcast_to(base, (b, t))
+                # Two position systems, decoupled for ragged batches:
+                # - RoPE positions continue each example's TRUE length (count
+                #   of valid cache entries), so decode after a right-padded
+                #   prefill rotates at position len_i, not padded-width.
+                # - Causality runs on SLOT indices (where K/V physically sit
+                #   in the cache), so a new token always sees itself and all
+                #   valid earlier slots; padded slots stay masked by kv_mask.
+                counts = jnp.sum(cache["mask"].astype(jnp.int32), axis=1)  # (B,)
+                positions = counts[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+            else:
+                positions = jnp.broadcast_to(
+                    jnp.arange(t, dtype=jnp.int32)[None, :], (b, t)
+                )
 
         cos, sin = rope_cos_sin(positions, cfg.resolved_head_dim, cfg.rope_theta, cfg.dtype)
 
@@ -278,7 +288,14 @@ class Qwen2Model(nn.Module):
             kv_positions = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
             )
-            bias = make_attention_bias(positions, kv_positions, kv_mask, causal=causal)
+            # Causality by SLOT index (see the positions comment above): the
+            # query written at slot index+i may attend slots <= index+i.
+            slot_positions = jnp.broadcast_to(
+                cache["index"] + jnp.arange(t, dtype=jnp.int32)[None, :], (b, t)
+            )
+            bias = make_attention_bias(
+                slot_positions, kv_positions, kv_mask, causal=causal
+            )
             attn_kv_mask = None
             cache_k, cache_v, cache_index = cache["k"], cache["v"], cache["index"]
         else:
