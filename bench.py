@@ -46,6 +46,9 @@ class BenchArgs:
     warmup: int = 3
     iters: int = 20
     device: Optional[str] = None  # e.g. "cpu" for local smoke
+    # "serve": policy forward (default, the driver metric).
+    # "train": full jitted train step (fwd+bwd+AdamW) samples/sec/chip.
+    mode: str = "serve"
 
 
 def main(args: BenchArgs) -> None:
@@ -82,6 +85,10 @@ def main(args: BenchArgs) -> None:
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
     states = jnp.zeros((b, config.state_dim), images.dtype)
     params = model.params
+
+    if args.mode == "train":
+        _bench_train(args, model, images, ids, mask, states)
+        return
 
     step = jax.jit(model.apply_fn)
 
@@ -142,6 +149,70 @@ def main(args: BenchArgs) -> None:
                 "value": round(actions_per_sec, 2),
                 "unit": "actions/sec/chip",
                 "vs_baseline": round(actions_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    b = args.batch_size
+    actions = jnp.zeros((b, model.config.action_dim), jnp.float32)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    trainable = model.trainable_params()
+    frozen = {"backbone": model.backbone.params}
+    opt_state = tx.init(trainable)
+
+    def loss_fn(trainable, images, ids, mask, states, actions):
+        preds = model.apply_fn(
+            {**frozen, **trainable}, images, ids, mask, states
+        )
+        return jnp.mean(jnp.square(preds - actions.astype(preds.dtype)))
+
+    @jax.jit
+    def train_step(trainable, opt_state, images, ids, mask, states, actions):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, images, ids, mask, states, actions
+        )
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    for _ in range(args.warmup):
+        trainable, opt_state, loss = train_step(
+            trainable, opt_state, images, ids, mask, states, actions
+        )
+        float(loss)
+
+    latencies = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        trainable, opt_state, loss = train_step(
+            trainable, opt_state, images, ids, mask, states, actions
+        )
+        float(loss)  # host fetch = execution sync
+        latencies.append(time.perf_counter() - t0)
+    elapsed = sum(latencies)
+    p50 = sorted(latencies)[len(latencies) // 2]
+    samples_per_sec = args.iters * b / elapsed
+    print(
+        f"[bench] train {args.iters} iters x batch {b} in {elapsed:.3f}s "
+        f"(p50 {p50 * 1e3:.1f} ms/step)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"fastvla {args.model_id} train step throughput "
+                    f"(batch {b}, {args.image_size}px)"
+                ),
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(samples_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
             }
         )
     )

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Closed-loop batched policy evaluation.
+
+Drives B parallel environments with one batched TPU policy (the §3.3 serving
+hot loop, BASELINE.json config #5). Environment backends:
+
+- ``--env dummy``: built-in synthetic env (offline smoke; reports throughput
+  and control-loop latency rather than task success);
+- ``--env gym:<id>``: any gymnasium env whose observation dict carries an
+  image and a state vector (key names configurable) — used for
+  MetaWorld/ALOHA when those simulators are installed.
+
+Reports episode returns/lengths plus actions/sec and p50 control-loop
+latency.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import _bootstrap  # noqa: F401
+
+from vla_fastvlm_tpu.serving import ActionQueuePolicy, BatchedEnvRunner
+from vla_fastvlm_tpu.utils import configure_logging, load_policy_from_checkpoint
+from vla_fastvlm_tpu.utils.cli import parse_cli
+
+
+@dataclass
+class ClosedLoopArgs:
+    checkpoint_dir: Optional[str] = None  # None -> random-init policy
+    model_id: str = "fastvlm-tiny"
+    env: str = "dummy"
+    num_envs: int = 16
+    max_steps: int = 50
+    task: str = "complete the task"
+    n_action_steps: int = 1
+    state_dim: int = 14
+    action_dim: int = 14
+    image_size: int = 64
+    gym_image_key: str = "pixels"
+    gym_state_key: str = "state"
+    device: Optional[str] = None
+    seed: int = 0
+
+
+class DummyEnv:
+    """Synthetic env: random images, integrator state, fixed horizon."""
+
+    def __init__(self, horizon: int, state_dim: int, image_hw: int, seed: int):
+        self.horizon = horizon
+        self.state_dim = state_dim
+        self.image_hw = image_hw
+        self.rng = np.random.default_rng(seed)
+        self.t = 0
+        self.state = np.zeros(state_dim, np.float32)
+
+    def _obs(self):
+        return {
+            "image": self.rng.random(
+                (3, self.image_hw, self.image_hw), dtype=np.float32
+            ),
+            "state": self.state.copy(),
+        }
+
+    def reset(self):
+        self.t = 0
+        self.state = np.zeros(self.state_dim, np.float32)
+        return self._obs()
+
+    def step(self, action):
+        self.t += 1
+        self.state = 0.9 * self.state + 0.1 * np.asarray(
+            action[: self.state_dim], np.float32
+        )
+        reward = -float(np.square(self.state).mean())
+        return self._obs(), reward, self.t >= self.horizon, {}
+
+
+class GymEnvAdapter:
+    """Adapt a gymnasium env to the runner's obs dict protocol."""
+
+    def __init__(self, env, image_key: str, state_key: str):
+        self.env = env
+        self.image_key = image_key
+        self.state_key = state_key
+
+    def _convert(self, obs):
+        image = np.asarray(obs[self.image_key], np.float32)
+        if image.max() > 1.0:
+            image = image / 255.0
+        if image.ndim == 3 and image.shape[-1] in (1, 3):
+            image = np.transpose(image, (2, 0, 1))
+        return {"image": image, "state": np.asarray(obs[self.state_key], np.float32)}
+
+    def reset(self):
+        obs, _info = self.env.reset()
+        return self._convert(obs)
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self.env.step(action)
+        return self._convert(obs), reward, terminated or truncated, info
+
+
+def build_envs(args: ClosedLoopArgs):
+    if args.env == "dummy":
+        return [
+            DummyEnv(args.max_steps, args.state_dim, args.image_size, args.seed + i)
+            for i in range(args.num_envs)
+        ]
+    if args.env.startswith("gym:"):
+        import gymnasium as gym
+
+        env_id = args.env.split(":", 1)[1]
+        return [
+            GymEnvAdapter(
+                gym.make(env_id), args.gym_image_key, args.gym_state_key
+            )
+            for _ in range(args.num_envs)
+        ]
+    raise ValueError(f"unknown env spec {args.env!r} (use 'dummy' or 'gym:<id>')")
+
+
+def main(args: ClosedLoopArgs) -> None:
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    configure_logging()
+
+    if args.checkpoint_dir:
+        policy, _device = load_policy_from_checkpoint(args.checkpoint_dir)
+    else:
+        from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLAPolicy
+
+        policy = FastVLAPolicy(
+            FastVLAConfig(
+                vlm_model_name=args.model_id,
+                bootstrap_model_name=args.model_id,
+                state_dim=args.state_dim,
+                action_dim=args.action_dim,
+                dropout=0.0,
+            )
+        )
+
+    envs = build_envs(args)
+    runner = BatchedEnvRunner(
+        envs, ActionQueuePolicy(policy, args.n_action_steps), task=args.task
+    )
+
+    tick_times = []
+
+    def on_step(actions, done):
+        tick_times.append(time.perf_counter())
+
+    t0 = time.perf_counter()
+    result = runner.run(max_steps=args.max_steps, on_step=on_step)
+    elapsed = time.perf_counter() - t0
+
+    deltas = np.diff([t0] + tick_times)
+    total_actions = int(result["lengths"].sum())
+    summary = {
+        "num_envs": args.num_envs,
+        "mean_return": float(result["returns"].mean()),
+        "mean_length": float(result["lengths"].mean()),
+        "total_actions": total_actions,
+        "actions_per_sec": round(total_actions / elapsed, 2),
+        "p50_control_latency_ms": round(float(np.median(deltas)) * 1e3, 2),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main(parse_cli(ClosedLoopArgs, prog="eval_closed_loop.py"))

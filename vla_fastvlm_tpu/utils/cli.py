@@ -37,10 +37,44 @@ def _base_parser(value: Any) -> Any:
     return str
 
 
-def parse_cli(cls: Type[T], args: Optional[Sequence[str]] = None, prog: Optional[str] = None) -> T:
-    """Parse command-line flags into an instance of dataclass ``cls``."""
+def parse_cli(
+    cls: Type[T],
+    args: Optional[Sequence[str]] = None,
+    prog: Optional[str] = None,
+    config_flag: str = "--config",
+) -> T:
+    """Parse command-line flags into an instance of dataclass ``cls``.
+
+    ``--config path.yaml`` (when present) loads YAML values as defaults that
+    explicit flags override. The reference ships ``configs/train_aloha.yaml``
+    but never loads it (dead config, SURVEY.md §2.1); here the artifact is
+    functional.
+    """
     if not dataclasses.is_dataclass(cls):
         raise TypeError(f"parse_cli expects a dataclass, got {cls!r}")
+
+    import sys
+
+    raw_args = list(sys.argv[1:] if args is None else args)
+    yaml_defaults: dict = {}
+    if config_flag in raw_args:
+        idx = raw_args.index(config_flag)
+        config_path = raw_args[idx + 1]
+        del raw_args[idx: idx + 2]
+        import yaml
+
+        with open(config_path, encoding="utf-8") as f:
+            loaded = yaml.safe_load(f) or {}
+        if not isinstance(loaded, dict):
+            raise TypeError(f"{config_path} must contain a mapping")
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(loaded) - field_names
+        if unknown:
+            raise ValueError(
+                f"Unknown config keys in {config_path}: {sorted(unknown)}"
+            )
+        yaml_defaults = loaded
+    args = raw_args
 
     parser = argparse.ArgumentParser(prog=prog, description=cls.__doc__)
     hints = typing.get_type_hints(cls)
@@ -52,7 +86,9 @@ def parse_cli(cls: Type[T], args: Optional[Sequence[str]] = None, prog: Optional
         tp, is_optional = _unwrap_optional(hints.get(field.name, field.type))
         origin = typing.get_origin(tp)
 
-        if field.default is not dataclasses.MISSING:
+        if field.name in yaml_defaults:
+            default = yaml_defaults[field.name]
+        elif field.default is not dataclasses.MISSING:
             default = field.default
         elif field.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
             default = field.default_factory()  # type: ignore[misc]
