@@ -211,10 +211,39 @@ class FastVLMBackbone:
         if tower_size is not None:
             return int(tower_size)
 
+        # Processor-declared size (reference step 2, ``fastvlm_adapter.py:
+        # 266-275``): local checkpoints may ship preprocessor_config.json.
+        proc_size = self._resolve_processor_size()
+        if proc_size is not None:
+            return int(proc_size)
+
         if self._raw_hf_config is None:
             # Preset path: the preset's own declared size.
             return int(self.model_config.image_size)
         return int(cfg.fallback_image_size)
+
+    def _resolve_processor_size(self) -> Optional[int]:
+        model_dir = Path(self.config.model_id)
+        if not model_dir.is_dir():
+            return None
+        proc_path = model_dir / "preprocessor_config.json"
+        if not proc_path.is_file():
+            return None
+        import json
+
+        try:
+            with open(proc_path, encoding="utf-8") as f:
+                proc = json.load(f)
+        except Exception:
+            return None
+        size = proc.get("size")
+        if isinstance(size, dict):
+            h = size.get("height") or size.get("shortest_edge") or size.get("max_height")
+            if isinstance(h, (int, float)):
+                return int(h)
+        if isinstance(size, (int, float)):
+            return int(size)
+        return None
 
     def _resolve_declared_tower_size(self) -> tuple[Optional[int], Optional[str]]:
         raw = self._raw_hf_config or {}
