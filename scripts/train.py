@@ -145,11 +145,17 @@ def main(args: TrainArgs) -> None:
             limit_samples=args.limit_train_samples,
             source=synthetic,
         )
+    import jax
+
+    # Per-host sharded loading: each host reads its slice of the global batch
+    # (multi-host DP; no-op on a single host).
     train_loader = create_aloha_dataloader(
         train_dataset,
         batch_size=args.batch_size,
         shuffle=not args.streaming,
         num_workers=args.num_workers,
+        shard_index=jax.process_index(),
+        num_shards=jax.process_count(),
     )
 
     eval_loader = None
@@ -199,8 +205,6 @@ def main(args: TrainArgs) -> None:
     )
 
     mesh = None
-    import jax
-
     if args.tp > 1 or len(jax.devices()) > 1:
         from vla_fastvlm_tpu.parallel import make_mesh
 

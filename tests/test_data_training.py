@@ -204,6 +204,39 @@ class TestTrainer:
         trainer = Trainer(policy, loader, None, cfg)
         assert trainer.config.mixed_precision == "no"
 
+    def test_preemption_checkpoint(self, tmp_path):
+        """SIGTERM-style preemption saves a resumable checkpoint mid-run."""
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        ds = make_dataset(16)
+        loader = create_aloha_dataloader(ds, batch_size=8, shuffle=False, num_workers=0)
+        cfg = TrainingConfig(
+            output_dir=str(tmp_path), num_epochs=10, report_to=[],
+            mixed_precision=None, save_steps=1000,
+        )
+        trainer = Trainer(policy, loader, None, cfg)
+
+        original = trainer._train_step
+
+        def step_then_preempt(*args_, **kw):
+            out = original(*args_, **kw)
+            trainer._preempted = True  # what the signal handler sets
+            return out
+
+        trainer._train_step = step_then_preempt
+        trainer.fit()
+        assert trainer.global_step == 1
+        preempt = list((tmp_path / "checkpoints").glob("preempt-step-*"))
+        assert len(preempt) == 1
+        assert (preempt[0] / "policy_state_dict.safetensors").exists()
+        # resumable: counters restored
+        t2 = Trainer(
+            FastVLAPolicy(FastVLAConfig(**TINY)), loader, None,
+            TrainingConfig(output_dir=str(tmp_path), report_to=[],
+                           mixed_precision=None),
+        )
+        t2._load_checkpoint(str(preempt[0]))
+        assert t2.global_step == 1
+
     def test_infer_steps_requires_length(self):
         policy = FastVLAPolicy(FastVLAConfig(**TINY))
         ds = AlohaIterableDataset(

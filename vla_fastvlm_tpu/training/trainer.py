@@ -79,6 +79,12 @@ class TrainingConfig:
     profile_num_steps: int = 3
     # Raise on NaN from any jitted computation (jax debug_nans).
     debug_nans: bool = False
+    # Preemption-safe checkpointing: on SIGTERM/SIGINT finish the in-flight
+    # step, save checkpoints/preempt-stepN, then exit. This is the
+    # TPU-relevant "elastic recovery" (SURVEY.md §5): maintenance events
+    # send SIGTERM before reclaiming the slice; resume_from the preempt
+    # checkpoint continues exactly.
+    save_on_preemption: bool = True
 
 
 class Trainer:
@@ -243,15 +249,46 @@ class Trainer:
         if self.config.resume_from:
             self._load_checkpoint(self.config.resume_from)
 
-        start_epoch = self.epoch
-        for epoch in range(start_epoch, self.config.num_epochs):
-            self.epoch = epoch
-            if hasattr(self.train_dataloader, "set_epoch"):
-                self.train_dataloader.set_epoch(epoch)
-            self._train_one_epoch()
-            if self.global_step >= self.num_training_steps:
-                break
-        self._end_training()
+        self._preempted = False
+        restore_handlers = self._install_preemption_handlers()
+        try:
+            start_epoch = self.epoch
+            for epoch in range(start_epoch, self.config.num_epochs):
+                self.epoch = epoch
+                if hasattr(self.train_dataloader, "set_epoch"):
+                    self.train_dataloader.set_epoch(epoch)
+                self._train_one_epoch()
+                if self._preempted or self.global_step >= self.num_training_steps:
+                    break
+        finally:
+            restore_handlers()
+            self._end_training()
+
+    def _install_preemption_handlers(self):
+        if not self.config.save_on_preemption:
+            return lambda: None
+        import signal
+
+        def handler(signum, frame):
+            logger.warning(
+                "Received signal %s: saving preemption checkpoint after the "
+                "current step.",
+                signum,
+            )
+            self._preempted = True
+
+        previous = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # non-main thread
+                pass
+
+        def restore():
+            for sig, old in previous.items():
+                signal.signal(sig, old)
+
+        return restore
 
     def _end_training(self) -> None:
         if self._writer is not None:
@@ -313,6 +350,10 @@ class Trainer:
 
             if self.global_step % cfg.save_steps == 0:
                 self._save_checkpoint(suffix=f"step-{self.global_step}")
+
+            if getattr(self, "_preempted", False):
+                self._save_checkpoint(suffix=f"preempt-step-{self.global_step}")
+                break
 
             if cfg.max_steps and self.global_step >= cfg.max_steps:
                 break
