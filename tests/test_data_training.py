@@ -237,6 +237,57 @@ class TestTrainer:
         t2._load_checkpoint(str(preempt[0]))
         assert t2.global_step == 1
 
+    def test_gradient_accumulation(self, tmp_path):
+        """MultiSteps: params move only every k batches; the dual-clock quirk
+        (global_step counts batches, updates count optimizer steps) holds."""
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        ds = make_dataset(16)
+        loader = create_aloha_dataloader(ds, batch_size=4, shuffle=False, num_workers=0)
+        cfg = TrainingConfig(
+            output_dir=str(tmp_path), num_epochs=1, report_to=[],
+            mixed_precision=None, gradient_accumulation_steps=2,
+            learning_rate=1e-2, save_steps=1000,
+        )
+        trainer = Trainer(policy, loader, None, cfg)
+        # 4 batches/epoch, accum 2 -> 2 updates/epoch
+        assert trainer.num_training_steps == 2
+
+        import jax
+
+        before = jax.tree_util.tree_leaves(trainer.trainable)[0].copy()
+        batch = next(iter(loader))
+        arrays = trainer.model.prepare_batch(batch)
+        rng = jax.random.PRNGKey(0)
+        trainer.trainable, trainer.opt_state, _ = trainer._train_step(
+            trainer.trainable, trainer.opt_state, trainer.frozen, arrays, rng
+        )
+        mid = jax.tree_util.tree_leaves(trainer.trainable)[0]
+        np.testing.assert_array_equal(np.asarray(mid), np.asarray(before))
+        trainer.trainable, trainer.opt_state, _ = trainer._train_step(
+            trainer.trainable, trainer.opt_state, trainer.frozen, arrays, rng
+        )
+        after = jax.tree_util.tree_leaves(trainer.trainable)[0]
+        assert not np.array_equal(np.asarray(after), np.asarray(before))
+
+    def test_bf16_compute_training(self, tmp_path):
+        """bf16 compute + fp32 params trains and yields finite loss."""
+        cfg_kw = dict(TINY)
+        cfg_kw.update(dtype="bfloat16", param_dtype="float32")
+        policy = FastVLAPolicy(FastVLAConfig(**cfg_kw))
+        ds = make_dataset(8)
+        loader = create_aloha_dataloader(ds, batch_size=8, shuffle=False, num_workers=0)
+        trainer = Trainer(
+            policy, loader, None,
+            TrainingConfig(output_dir=str(tmp_path), max_steps=2, report_to=[],
+                           logging_steps=1, save_steps=1000),
+        )
+        trainer.fit()
+        import json as _json
+
+        lines = (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()
+        losses = [_json.loads(l)["train/loss"] for l in lines]
+        assert all(np.isfinite(losses))
+
     def test_infer_steps_requires_length(self):
         policy = FastVLAPolicy(FastVLAConfig(**TINY))
         ds = AlohaIterableDataset(
