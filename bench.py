@@ -167,23 +167,26 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     frozen = {"backbone": model.backbone.params}
     opt_state = tx.init(trainable)
 
-    def loss_fn(trainable, images, ids, mask, states, actions):
+    # frozen backbone params go in as an ARGUMENT, never a closure capture —
+    # captured pytrees become HLO constants and a ~GB constant blob makes the
+    # compiler (especially remote compile services) choke.
+    def loss_fn(trainable, frozen, images, ids, mask, states, actions):
         preds = model.apply_fn(
             {**frozen, **trainable}, images, ids, mask, states
         )
         return jnp.mean(jnp.square(preds - actions.astype(preds.dtype)))
 
     @jax.jit
-    def train_step(trainable, opt_state, images, ids, mask, states, actions):
+    def train_step(trainable, opt_state, frozen, images, ids, mask, states, actions):
         loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, images, ids, mask, states, actions
+            trainable, frozen, images, ids, mask, states, actions
         )
         updates, opt_state = tx.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
     for _ in range(args.warmup):
         trainable, opt_state, loss = train_step(
-            trainable, opt_state, images, ids, mask, states, actions
+            trainable, opt_state, frozen, images, ids, mask, states, actions
         )
         float(loss)
 
@@ -191,7 +194,7 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     for _ in range(args.iters):
         t0 = time.perf_counter()
         trainable, opt_state, loss = train_step(
-            trainable, opt_state, images, ids, mask, states, actions
+            trainable, opt_state, frozen, images, ids, mask, states, actions
         )
         float(loss)  # host fetch = execution sync
         latencies.append(time.perf_counter() - t0)

@@ -84,26 +84,30 @@ class FastVLAPolicy(PreTrainedPolicy):
         )
 
         import jax as _jax
+        import jax.numpy as jnp
+
+        # One jitted loss+grad program; frozen backbone params enter as an
+        # argument (a closure capture would bake ~GB of constants into HLO).
+        def scalar_loss(trainable, frozen, images, ids, mask, states, actions):
+            preds = self.model.apply_fn(
+                {**frozen, **trainable}, images, ids, mask, states
+            )
+            return jnp.mean(jnp.square(preds - actions.astype(preds.dtype)))
+
+        jitted_vag = _jax.jit(_jax.value_and_grad(scalar_loss))
 
         def value_and_grad(head_tree, arrays):
             trainable = {"head": head_tree}
             frozen = {"backbone": self.model.backbone.params}
-
-            def scalar_loss(trainable):
-                preds = self.model.apply_fn(
-                    {**frozen, **trainable},
-                    arrays["images"],
-                    arrays["input_ids"],
-                    arrays["attention_mask"],
-                    arrays["states"],
-                )
-                import jax.numpy as jnp
-
-                return jnp.mean(
-                    jnp.square(preds - arrays["actions"].astype(preds.dtype))
-                )
-
-            loss, grads = _jax.value_and_grad(scalar_loss)(trainable)
+            loss, grads = jitted_vag(
+                trainable,
+                frozen,
+                arrays["images"],
+                arrays["input_ids"],
+                arrays["attention_mask"],
+                arrays["states"],
+                arrays["actions"],
+            )
             return float(loss), grads["head"]
 
         self._torch_loss = make_torch_loss(value_and_grad, self._param_names)
