@@ -134,16 +134,15 @@ def torch_conv_to_flax(w: np.ndarray) -> np.ndarray:
 
 
 def convert_fastvithd_state_dict(state_dict, vision_cfg, dtype=np.float32):
-    """Convert Apple's (unfused) FastViTHD tower weights to our fused layout.
+    """Convert Apple's FastViTHD tower weights (train-mode multi-branch or
+    inference-mode fused) to our fused Flax layout.
 
-    The Apple llava_qwen2 checkpoints store the train-time multi-branch
-    MobileOne/RepMixer parameters under ``model.vision_tower.*``; converting
-    them requires the reparameterization fold against the exact stored names,
-    which can only be validated against a real checkpoint. Until a checkpoint
-    is available in this environment this raises KeyError so callers fall back
-    to random init with a warning (``io/model_loader.py``).
+    Fold math is exact and unit-tested (``tests/test_reparam.py``,
+    ``tests/test_vision_convert.py``); the module-name mapping is a
+    reconstruction of the public ml-fastvlm layout awaiting validation
+    against a real checkpoint (``io/vision_convert.py`` docstring). Raises
+    KeyError on unmatched names so the loader can fall back gracefully.
     """
-    raise KeyError(
-        "FastViTHD checkpoint conversion requires a real Apple checkpoint to "
-        "validate the name mapping; not yet enabled."
-    )
+    from .vision_convert import convert_vision_tower
+
+    return convert_vision_tower(state_dict, vision_cfg, dtype=dtype)
