@@ -49,6 +49,7 @@ class BenchArgs:
     # "serve": policy forward (default, the driver metric).
     # "train": full jitted train step (fwd+bwd+AdamW) samples/sec/chip.
     mode: str = "serve"
+    attention_impl: str = "auto"
 
 
 def main(args: BenchArgs) -> None:
@@ -69,6 +70,7 @@ def main(args: BenchArgs) -> None:
         tokenizer_max_length=args.tokenizer_max_length,
         dtype=args.dtype,
         param_dtype=args.dtype,
+        attention_impl=args.attention_impl,
         dropout=0.0,
     )
     print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)

@@ -124,6 +124,24 @@ def main(args: ProfileArgs) -> None:
 
     t_step = timeit("full policy step", f_step, args.iters)
 
+    # attention impl A/B on identical params: Pallas flash vs XLA decoder path
+    from vla_fastvlm_tpu.models.fastvlm import pool_last_text_token
+
+    for impl in ("flash", "xla"):
+        alt_cfg = mcfg.replace(text=mcfg.text.replace(attention_impl=impl))
+        alt = FastVLM(alt_cfg)
+
+        def fwd(p, img, i, m, alt=alt):
+            hidden, _, text_mask = alt.apply({"params": p}, img, i, m)
+            return pool_last_text_token(hidden, text_mask)
+
+        fwd = jax.jit(fwd)
+
+        def f_alt(fwd=fwd):
+            np.asarray(jnp.sum(fwd(params, images, ids, mask)))
+
+        timeit(f"backbone[{impl}]", f_alt, args.iters)
+
     print(
         f"[derived] decoder+pool ~= {max(0.0, t_backbone - t_vision) * 1e3:.2f} ms, "
         f"head ~= {max(0.0, t_step - t_backbone) * 1e3:.2f} ms, "

@@ -47,6 +47,7 @@ class FastVLAConfig:
     image_token_mode: str = "prefix"
     dtype: str = "float32"
     param_dtype: str = "float32"
+    attention_impl: str = "auto"  # "auto" | "flash" | "xla"
     train_backbone: bool = False
     # chunk_size > 1 emits (chunk, action_dim) per forward (action chunking).
     chunk_size: int = 1
@@ -71,6 +72,7 @@ class FastVLAConfig:
             image_token_mode=self.image_token_mode,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_impl=self.attention_impl,
             train_backbone=self.train_backbone,
             num_cameras=self.num_cameras,
             seed=self.seed,

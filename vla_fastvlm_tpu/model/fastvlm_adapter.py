@@ -85,6 +85,9 @@ class FastVLMBackboneConfig:
     # Compute/param dtypes ("bfloat16" for TPU speed, "float32" for parity).
     dtype: str = "float32"
     param_dtype: str = "float32"
+    # Decoder attention implementation: "auto" (Pallas flash on TPU where
+    # profitable), "flash" (force), "xla" (never).
+    attention_impl: str = "auto"
     # Truly train the backbone (reference always stop-grads it).
     train_backbone: bool = False
     # Cameras per observation; >1 expects (B, ncam, C, H, W) image batches
@@ -138,6 +141,9 @@ class FastVLMBackbone:
         self.model_config = self.model_config.replace(
             image_size=int(self.expected_size),
             num_cameras=int(cfg.num_cameras),
+            text=self.model_config.text.replace(
+                attention_impl=cfg.attention_impl
+            ),
         )
 
         self.model = FastVLM(self.model_config)

@@ -41,6 +41,10 @@ def resize_with_pad(
         raise ValueError(f"(B,C,H,W) expected, but got shape {tuple(img.shape)}")
 
     cur_height, cur_width = img.shape[2:]
+    if (cur_height, cur_width) == (height, width):
+        # Already target-sized: resize would be an exact identity (ratio 1,
+        # zero padding) but still cost a full bilinear gather — skip it.
+        return img
     ratio = max(cur_width / width, cur_height / height)
     resized_height = int(cur_height / ratio)
     resized_width = int(cur_width / ratio)
