@@ -312,7 +312,7 @@ class DataLoader:
             yield item
         thread.join()
 
-    def _iter_stream(self) -> Iterator[Dict[str, Any]]:
+    def _iter_stream_sync(self) -> Iterator[Dict[str, Any]]:
         batch: List[Any] = []
         for i, sample in enumerate(self.dataset):
             if i % self.num_shards != self.shard_index:
@@ -323,6 +323,35 @@ class DataLoader:
                 batch = []
         if batch and not self.drop_last:
             yield self.collate_fn(batch)
+
+    def _iter_stream(self) -> Iterator[Dict[str, Any]]:
+        if self.num_workers == 0:
+            yield from self._iter_stream_sync()
+            return
+        # Single producer thread pulls/collates from the (network-bound)
+        # stream while the consumer trains — same overlap as the map path.
+        out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self._iter_stream_sync():
+                    out_queue.put(item)
+            except BaseException as exc:
+                out_queue.put(exc)
+            finally:
+                out_queue.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = out_queue.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if hasattr(self.dataset, "__len__"):

@@ -49,6 +49,9 @@ class FastVLAConfig:
     param_dtype: str = "float32"
     attention_impl: str = "auto"  # "auto" | "flash" | "xla"
     train_backbone: bool = False
+    # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
+    # trades FLOPs for activation memory when training the backbone.
+    gradient_checkpointing: bool = False
     # chunk_size > 1 emits (chunk, action_dim) per forward (action chunking).
     chunk_size: int = 1
     # Cameras per observation; >1 expects (B, ncam, C, H, W) batches and
@@ -74,6 +77,7 @@ class FastVLAConfig:
             param_dtype=self.param_dtype,
             attention_impl=self.attention_impl,
             train_backbone=self.train_backbone,
+            gradient_checkpointing=self.gradient_checkpointing,
             num_cameras=self.num_cameras,
             seed=self.seed,
         )

@@ -88,6 +88,9 @@ class FastVLMBackboneConfig:
     # Decoder attention implementation: "auto" (Pallas flash on TPU where
     # profitable), "flash" (force), "xla" (never).
     attention_impl: str = "auto"
+    # jax.checkpoint the decoder blocks (memory for FLOPs; only matters when
+    # the backbone itself trains).
+    gradient_checkpointing: bool = False
     # Truly train the backbone (reference always stop-grads it).
     train_backbone: bool = False
     # Cameras per observation; >1 expects (B, ncam, C, H, W) image batches
@@ -142,7 +145,8 @@ class FastVLMBackbone:
             image_size=int(self.expected_size),
             num_cameras=int(cfg.num_cameras),
             text=self.model_config.text.replace(
-                attention_impl=cfg.attention_impl
+                attention_impl=cfg.attention_impl,
+                remat=cfg.gradient_checkpointing,
             ),
         )
 

@@ -116,9 +116,10 @@ def init_kv_cache(
 
 class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
+    causal: bool = True  # module attribute: stays static under remat/scan
 
     @nn.compact
-    def __call__(self, x, bias, kv_mask, causal, cos, sin, cache_k, cache_v,
+    def __call__(self, x, bias, kv_mask, cos, sin, cache_k, cache_v,
                  cache_index):
         cfg = self.cfg
         b, t, _ = x.shape
@@ -157,7 +158,7 @@ class Qwen2Attention(nn.Module):
             v.astype(q.dtype),
             bias=bias,
             kv_mask=kv_mask,
-            causal=causal,
+            causal=self.causal,
             impl=cfg.attention_impl,
         )
         out = out.reshape(b, t, n * d)
@@ -196,15 +197,16 @@ class RMSNorm(nn.Module):
 
 class Qwen2Block(nn.Module):
     cfg: Qwen2Config
+    causal: bool = True
 
     @nn.compact
-    def __call__(self, x, bias, kv_mask, causal, cos, sin, cache_k, cache_v,
+    def __call__(self, x, bias, kv_mask, cos, sin, cache_k, cache_v,
                  cache_index):
         cfg = self.cfg
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
                     name="input_layernorm")(x)
-        attn_out, new_cache = Qwen2Attention(cfg, name="self_attn")(
-            h, bias, kv_mask, causal, cos, sin, cache_k, cache_v, cache_index
+        attn_out, new_cache = Qwen2Attention(cfg, self.causal, name="self_attn")(
+            h, bias, kv_mask, cos, sin, cache_k, cache_v, cache_index
         )
         x = x + attn_out
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
@@ -315,13 +317,13 @@ class Qwen2Model(nn.Module):
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, 0, 0, nn.broadcast),
                 out_axes=0,
                 length=cfg.num_hidden_layers,
             )
-            x, stacked_cache = scanned(cfg, name="layers")(
-                x, bias, attn_kv_mask, causal, cos, sin, cache_k, cache_v,
+            x, stacked_cache = scanned(cfg, causal, name="layers")(
+                x, bias, attn_kv_mask, cos, sin, cache_k, cache_v,
                 cache_index
             )
             new_k, new_v = stacked_cache
@@ -330,8 +332,8 @@ class Qwen2Model(nn.Module):
             for i in range(cfg.num_hidden_layers):
                 ck = cache_k[i] if cache_k is not None else None
                 cv = cache_v[i] if cache_v is not None else None
-                x, (nk, nv) = block_cls(cfg, name=f"layers_{i}")(
-                    x, bias, attn_kv_mask, causal, cos, sin, ck, cv, cache_index
+                x, (nk, nv) = block_cls(cfg, causal, name=f"layers_{i}")(
+                    x, bias, attn_kv_mask, cos, sin, ck, cv, cache_index
                 )
                 new_ks.append(nk)
                 new_vs.append(nv)

@@ -95,7 +95,7 @@ def attention(
     if bias is None and kv_mask is not None and impl in ("auto", "flash"):
         from .pallas.flash_attention import flash_attention, supports_flash
 
-        if supports_flash(q.shape, k.shape):
+        if supports_flash(q.shape, k.shape, auto=impl == "auto"):
             return flash_attention(q, k, v, kv_mask, causal, scale)
 
     if bias is None:

@@ -224,8 +224,20 @@ def _bwd(causal, scale, block_q, residuals, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
-def supports_flash(q_shape, k_shape, backend: Optional[str] = None) -> bool:
-    """Cheap static check: is the Pallas kernel applicable on this platform?"""
+MIN_AUTO_SEQ = 256
+
+
+def supports_flash(
+    q_shape, k_shape, backend: Optional[str] = None, auto: bool = False
+) -> bool:
+    """Cheap static check: is the Pallas kernel applicable on this platform?
+
+    ``auto=True`` additionally applies the profitability heuristic: measured
+    on v5e, XLA's batched attention wins below ~256 tokens (the per-grid-cell
+    (T, D) x (D, S) matmuls underutilize the 128x128 MXU), while the fused
+    kernel's skipped HBM round-trip for the (T, S) logits pays off at longer
+    sequences (e.g. 1024px vision stages, long-prompt prefill).
+    """
     if backend is None:
         backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
@@ -235,5 +247,7 @@ def supports_flash(q_shape, k_shape, backend: Optional[str] = None) -> bool:
         return False
     n, kh = q_shape[2], k_shape[2]
     if n % kh != 0:
+        return False
+    if auto and (q_shape[1] < MIN_AUTO_SEQ or k_shape[1] < MIN_AUTO_SEQ):
         return False
     return True
