@@ -101,6 +101,11 @@ def _mobileone_fused(src: _Src, base: str, kernel: int, out_ch: int, groups: int
 
 
 def _conv_act(w_torch: np.ndarray, b: np.ndarray) -> Dict:
+    o, i, kh, kw = w_torch.shape
+    if (kh, kw) == (1, 1) and i != 1:
+        # Pointwise ungrouped convs are Dense in our modules: (O, I, 1, 1)
+        # -> (I, O). (i == 1 would be a depthwise 1x1, which stays a conv.)
+        return {"conv": {"kernel": w_torch[:, :, 0, 0].T, "bias": b}}
     return {"conv": {"kernel": torch_conv_to_flax(w_torch), "bias": b}}
 
 
