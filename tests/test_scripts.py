@@ -1,0 +1,121 @@
+"""Script-level behavior tests: split fallbacks and arg surfaces.
+
+Pins the reference's graceful-degradation behaviors: eval's validation->train
+fallback gated by allow_missing_split (reference ``eval_dataset.py:34-61``)
+and train's Unknown-split tolerance (``train.py:117-126``).
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+SCRIPTS = Path(__file__).resolve().parent.parent / "scripts"
+sys.path.insert(0, str(SCRIPTS))
+
+import eval_dataset as eval_script  # noqa: E402
+import train as train_script  # noqa: E402
+
+
+class TestEvalSplitFallback:
+    def make_args(self, **kw):
+        defaults = dict(
+            synthetic_data=True, synthetic_samples=4, synthetic_image_size=32,
+            state_dim=4, action_dim=4, streaming=False,
+        )
+        defaults.update(kw)
+        return eval_script.EvalArgs(**defaults)
+
+    def test_fallback_to_train(self, monkeypatch, capsys):
+        calls = []
+
+        class FakeDataset:
+            def __init__(self, split=None, **kw):
+                calls.append(split)
+                if split == "validation":
+                    raise ValueError("Unknown split 'validation'")
+
+        monkeypatch.setattr(eval_script, "AlohaDataset", FakeDataset)
+        args = self.make_args(split="validation", allow_missing_split=True)
+        _, resolved = eval_script._build_dataset(args)
+        assert resolved == "train"
+        assert calls == ["validation", "train"]
+        assert "not found" in capsys.readouterr().out
+
+    def test_no_fallback_when_disallowed(self, monkeypatch):
+        class FakeDataset:
+            def __init__(self, split=None, **kw):
+                raise ValueError("Unknown split 'validation'")
+
+        monkeypatch.setattr(eval_script, "AlohaDataset", FakeDataset)
+        args = self.make_args(split="validation", allow_missing_split=False)
+        with pytest.raises(ValueError, match="Unknown split"):
+            eval_script._build_dataset(args)
+
+    def test_other_errors_propagate(self, monkeypatch):
+        class FakeDataset:
+            def __init__(self, split=None, **kw):
+                raise ValueError("disk on fire")
+
+        monkeypatch.setattr(eval_script, "AlohaDataset", FakeDataset)
+        args = self.make_args(split="validation", allow_missing_split=True)
+        with pytest.raises(ValueError, match="disk on fire"):
+            eval_script._build_dataset(args)
+
+
+class TestArgSurfaces:
+    def test_train_args_reference_fields(self):
+        """Every reference TrainArgs flag exists with the same default
+        (reference ``scripts/train.py:24-59``)."""
+        ref_defaults = {
+            "output_dir": "outputs/train/aloha_fastvlm",
+            "dataset_repo_id": "lerobot/aloha_sim_insertion_human_image",
+            "train_split": "train",
+            "eval_split": "validation",
+            "streaming": False,
+            "limit_train_samples": None,
+            "limit_eval_samples": 1024,
+            "batch_size": 4,
+            "eval_batch_size": 4,
+            "num_workers": 4,
+            "model_id": "apple/FastVLM-0.5B",
+            "bootstrap_model_id": "apple/FastVLM-0.5B",
+            "freeze_backbone": True,
+            "hidden_dim": 1024,
+            "fusion_dim": 1024,
+            "dropout": 0.1,
+            "image_size": None,
+            "resize_with_padding": True,
+            "pad_value": 0.0,
+            "tokenizer_max_length": 64,
+            "tokenizer_padding_side": "right",
+            "pad_to_max_length": False,
+            "learning_rate": 1e-4,
+            "weight_decay": 1e-4,
+            "num_epochs": 5,
+            "max_steps": None,
+            "gradient_accumulation_steps": 1,
+            "logging_steps": 50,
+            "eval_steps": 500,
+            "save_steps": 1000,
+            "mixed_precision": "bf16",
+            "seed": 42,
+        }
+        args = train_script.TrainArgs()
+        for name, value in ref_defaults.items():
+            assert getattr(args, name) == value, name
+
+    def test_eval_args_reference_fields(self):
+        ref_defaults = {
+            "checkpoint_dir": "outputs/train/aloha_fastvlm/checkpoints/step-1000",
+            "dataset_repo_id": "lerobot/aloha_sim_insertion_human_image",
+            "split": "validation",
+            "allow_missing_split": True,
+            "streaming": False,
+            "batch_size": 8,
+            "num_workers": 4,
+            "limit_samples": None,
+        }
+        args = eval_script.EvalArgs()
+        for name, value in ref_defaults.items():
+            assert getattr(args, name) == value, name
