@@ -1,0 +1,114 @@
+"""Continuous-batching server: outputs must match offline greedy generation.
+
+The strongest invariant available: a request admitted mid-flight into a busy
+server must produce exactly the tokens the standalone ``generate`` path
+produces for the same prompt (greedy, same weights).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vla_fastvlm_tpu.models import FastVLM, fastvlm_tiny
+from vla_fastvlm_tpu.serving import GenerationServer, generate
+
+PROMPT_LEN = 8
+MAX_NEW = 5
+EOS = 2
+
+
+@pytest.fixture(scope="module")
+def vlm():
+    cfg = fastvlm_tiny()
+    model = FastVLM(cfg)
+    ids = jnp.ones((1, PROMPT_LEN), jnp.int32)
+    imgs = jnp.zeros((1, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+    return cfg, model, params
+
+
+def make_prompt(rng, length):
+    ids = np.zeros((1, PROMPT_LEN), np.int32)
+    mask = np.zeros((1, PROMPT_LEN), np.int32)
+    ids[0, :length] = rng.integers(3, 100, length)
+    mask[0, :length] = 1
+    return ids, mask
+
+
+def offline(model, params, images, ids, mask):
+    return np.asarray(
+        generate(model, params, images, jnp.asarray(ids), jnp.asarray(mask),
+                 max_new_tokens=MAX_NEW, eos_token_id=EOS)
+    )[0]
+
+
+class TestGenerationServer:
+    def test_single_request_matches_offline(self, vlm):
+        cfg, model, params = vlm
+        rng = np.random.default_rng(0)
+        ids, mask = make_prompt(rng, 5)
+        images = np.asarray(rng.random((1, 3, 64, 64), dtype=np.float32))
+
+        server = GenerationServer(model, params, num_slots=2,
+                                  prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW,
+                                  eos_token_id=EOS)
+        rid = server.submit(ids, mask, images)
+        outputs = server.run_to_completion()
+        ref = offline(model, params, jnp.asarray(images), ids, mask)
+        got = np.asarray(outputs[rid])
+        # offline pads with eos after finish; compare up to the server length
+        np.testing.assert_array_equal(got, ref[: len(got)])
+
+    def test_staggered_admission_matches_offline(self, vlm):
+        cfg, model, params = vlm
+        rng = np.random.default_rng(1)
+        prompts = [make_prompt(rng, n) for n in (4, 6, 8)]
+        images = [
+            np.asarray(rng.random((1, 3, 64, 64), dtype=np.float32))
+            for _ in prompts
+        ]
+
+        server = GenerationServer(model, params, num_slots=2,
+                                  prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW,
+                                  eos_token_id=EOS)
+        rid0 = server.submit(*prompts[0], images[0])
+        rid1 = server.submit(*prompts[1], images[1])
+        outputs = {}
+        outputs.update(server.step())  # advance with 2 active
+        outputs.update(server.step())
+        # third request arrives mid-flight; needs a free slot eventually
+        rid2 = None
+        for _ in range(MAX_NEW + 2):
+            if server.has_free_slot() and rid2 is None:
+                rid2 = server.submit(*prompts[2], images[2])
+            outputs.update(server.step())
+            if rid2 is not None and len(outputs) == 3:
+                break
+        outputs.update(server.run_to_completion())
+
+        assert rid2 is not None
+        for rid, (ids, mask), img in zip([rid0, rid1, rid2], prompts, images):
+            ref = offline(model, params, jnp.asarray(img), ids, mask)
+            got = np.asarray(outputs[rid])
+            np.testing.assert_array_equal(got, ref[: len(got)])
+
+    def test_slot_exhaustion_raises(self, vlm):
+        cfg, model, params = vlm
+        rng = np.random.default_rng(2)
+        server = GenerationServer(model, params, num_slots=1,
+                                  prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW,
+                                  eos_token_id=EOS)
+        ids, mask = make_prompt(rng, 4)
+        img = np.zeros((1, 3, 64, 64), np.float32)
+        server.submit(ids, mask, img)
+        with pytest.raises(RuntimeError, match="free generation slots"):
+            server.submit(ids, mask, img)
+
+    def test_prompt_len_guard(self, vlm):
+        cfg, model, params = vlm
+        server = GenerationServer(model, params, num_slots=1,
+                                  prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW)
+        with pytest.raises(ValueError, match="prompt_len"):
+            server.submit(np.zeros((1, 4), np.int32), np.zeros((1, 4), np.int32),
+                          np.zeros((1, 3, 64, 64), np.float32))

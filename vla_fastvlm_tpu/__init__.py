@@ -29,7 +29,7 @@ __version__ = "0.1.0"
 def __getattr__(name):
     # Lazy exports: keep `import vla_fastvlm_tpu` light (no flax import) while
     # still exposing the reference's top-level API surface
-    # (reference `src/vla_fastvlm/__init__.py:9-20`).
+    # (reference `src/vla_fastvlm/__init__.py:9-20`) plus framework layers.
     if name in ("FastVLAConfig", "FastVLAPolicy"):
         from . import fastvla
 
@@ -38,6 +38,19 @@ def __getattr__(name):
         from .model.policy import FastVLMPolicy
 
         return FastVLMPolicy
+    if name in ("Trainer", "TrainingConfig"):
+        from . import training
+
+        return getattr(training, name)
+    if name == "load_policy_from_checkpoint":
+        from .io.checkpoint import load_policy_from_checkpoint
+
+        return load_policy_from_checkpoint
+    if name in ("models", "ops", "io", "data", "training", "parallel",
+                "serving", "fastvla", "model", "utils", "native"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [

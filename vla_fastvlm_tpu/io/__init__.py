@@ -15,13 +15,21 @@ from .model_loader import (
     resolve_fastvlm_config,
 )
 from .tokenizer import ByteTokenizer, HFTokenizerAdapter, TokenBatch, load_tokenizer
-from .weights import convert_qwen2_state_dict, fold_conv_bn, torch_conv_to_flax
+from .vision_convert import convert_vision_tower
+from .weights import (
+    convert_fastvithd_state_dict,
+    convert_qwen2_state_dict,
+    fold_conv_bn,
+    torch_conv_to_flax,
+)
 
 __all__ = [
     "ByteTokenizer",
     "HFTokenizerAdapter",
     "TokenBatch",
+    "convert_fastvithd_state_dict",
     "convert_qwen2_state_dict",
+    "convert_vision_tower",
     "flatten_params",
     "fold_conv_bn",
     "infer_size_from_tower_name",

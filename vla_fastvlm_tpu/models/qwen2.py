@@ -110,7 +110,10 @@ def init_kv_cache(
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "mask": jnp.zeros((batch_size, max_len), jnp.bool_),
-        "index": jnp.zeros((), jnp.int32),
+        # Per-example write cursor: slot where the next tokens land. Scalar
+        # for classic batch decode would suffice, but per-example cursors are
+        # what continuous batching needs (slots prefill/finish independently).
+        "index": jnp.zeros((batch_size,), jnp.int32),
     }
 
 
@@ -142,12 +145,14 @@ class Qwen2Attention(nn.Module):
         q, k = apply_rope(q, k, cos, sin)
 
         if cache_k is not None:
-            k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            # Per-example cursor: vmap the slice update over the batch.
+            update_row = jax.vmap(
+                lambda buf, new, idx: jax.lax.dynamic_update_slice(
+                    buf, new, (idx, 0, 0)
+                )
             )
-            v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
-            )
+            k = update_row(cache_k, k.astype(cache_k.dtype), cache_index)
+            v = update_row(cache_v, v.astype(cache_v.dtype), cache_index)
             new_cache = (k, v)
         else:
             new_cache = (None, None)
@@ -282,18 +287,22 @@ class Qwen2Model(nn.Module):
             # KV-cached decode: arbitrary query positions vs the whole cache
             # -> additive-bias (XLA) attention path.
             s = cache["k"].shape[2]
-            kv_mask = jax.lax.dynamic_update_slice(
+            kv_mask = jax.vmap(
+                lambda row, new, idx: jax.lax.dynamic_update_slice(
+                    row, new, (idx,)
+                )
+            )(
                 cache["mask"].astype(jnp.int32),
                 attention_mask.astype(jnp.int32),
-                (0, cache["index"]),
+                cache["index"],
             )
             kv_positions = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
             )
             # Causality by SLOT index (see the positions comment above): the
-            # query written at slot index+i may attend slots <= index+i.
-            slot_positions = jnp.broadcast_to(
-                cache["index"] + jnp.arange(t, dtype=jnp.int32)[None, :], (b, t)
+            # query written at slot index_b+i may attend slots <= index_b+i.
+            slot_positions = (
+                cache["index"][:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
             )
             bias = make_attention_bias(
                 slot_positions, kv_positions, kv_mask, causal=causal
