@@ -50,15 +50,17 @@ def check(b, t, s, n, kh, d, causal, dtype, atol):
 
 def main():
     cases = [
-        # Qwen2-0.5B prefill shape: 80 tokens, 14 q heads, 2 kv heads, d 64
-        (2, 80, 80, 14, 2, 64, True, jnp.float32, 1e-4),
+        # Qwen2-0.5B prefill shape: 80 tokens, 14 q heads, 2 kv heads, d 64.
+        # fp32 tolerance reflects TPU default matmul precision (bf16 passes):
+        # kernel and reference reduce in different orders.
+        (2, 80, 80, 14, 2, 64, True, jnp.float32, 1e-3),
         (2, 80, 80, 14, 2, 64, True, jnp.bfloat16, 3e-2),
         # Longer sequence, block-q tiling kicks in
         (1, 320, 320, 14, 2, 64, True, jnp.bfloat16, 3e-2),
         # Non-causal full attention (vision-style) with d=128
         (1, 256, 256, 8, 8, 128, False, jnp.bfloat16, 3e-2),
     ]
-    ok = all(check(*case) for case in cases)
+    ok = all([check(*case) for case in cases])
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
