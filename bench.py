@@ -48,8 +48,10 @@ class BenchArgs:
     device: Optional[str] = None  # e.g. "cpu" for local smoke
     # "serve": policy forward (default, the driver metric).
     # "train": full jitted train step (fwd+bwd+AdamW) samples/sec/chip.
+    # "generate": KV-cached VLM decoding, tokens/sec/chip.
     mode: str = "serve"
     attention_impl: str = "auto"
+    max_new_tokens: int = 64
 
 
 def main(args: BenchArgs) -> None:
@@ -90,6 +92,9 @@ def main(args: BenchArgs) -> None:
 
     if args.mode == "train":
         _bench_train(args, model, images, ids, mask, states)
+        return
+    if args.mode == "generate":
+        _bench_generate(args, model, images, ids, mask)
         return
 
     step = jax.jit(model.apply_fn)
@@ -151,6 +156,58 @@ def main(args: BenchArgs) -> None:
                 "value": round(actions_per_sec, 2),
                 "unit": "actions/sec/chip",
                 "vs_baseline": round(actions_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def _bench_generate(args: BenchArgs, model, images, ids, mask) -> None:
+    """VLM decoding throughput. The whole generation (prefill + scanned
+    decode) is ONE compiled program, so internal steps are data-dependent and
+    cannot be elided by async dispatch; timing wraps the single execution
+    with a host fetch of the emitted tokens."""
+    import jax
+    import numpy as np
+
+    from vla_fastvlm_tpu.serving import generate
+
+    b = args.batch_size
+    vlm = model.backbone.model
+    params = model.backbone.params
+
+    def run():
+        tokens = generate(
+            vlm, params, images, ids, mask,
+            max_new_tokens=args.max_new_tokens, eos_token_id=-1,  # never stop
+        )
+        return np.asarray(tokens)
+
+    t0 = time.perf_counter()
+    run()
+    print(f"[bench] generate compile+first {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    latencies = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run()
+        latencies.append(time.perf_counter() - t0)
+    p50 = sorted(latencies)[len(latencies) // 2]
+    tokens_per_sec = b * args.max_new_tokens / p50
+    print(
+        f"[bench] generate batch {b} x {args.max_new_tokens} new tokens: "
+        f"p50 {p50 * 1e3:.1f} ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"fastvla {args.model_id} generation throughput "
+                    f"(batch {b}, {args.image_size}px, {args.max_new_tokens} new)"
+                ),
+                "value": round(tokens_per_sec, 2),
+                "unit": "tokens/sec/chip",
+                "vs_baseline": round(tokens_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
             }
         )
     )
