@@ -158,14 +158,16 @@ def _convffn(src: _Src, base: str) -> Dict:
     """ConvFFN: conv(dw7x7)+bn -> dw; fc1/fc2 1x1 convs."""
     from .weights import fold_conv_bn
 
+    bn = src.bn(f"{base}.conv.bn")
     dw_w, dw_b = fold_conv_bn(
         src.get(f"{base}.conv.conv.weight"),
-        src.get(f"{base}.conv.conv.bias") if src.has(f"{base}.conv.conv.bias") else None,
-        **{k: v for k, v in zip(
-            ("bn_gamma", "bn_beta", "bn_mean", "bn_var"),
-            (src.get(f"{base}.conv.bn.weight"), src.get(f"{base}.conv.bn.bias"),
-             src.get(f"{base}.conv.bn.running_mean"), src.get(f"{base}.conv.bn.running_var")),
-        )},
+        src.get(f"{base}.conv.conv.bias")
+        if src.has(f"{base}.conv.conv.bias")
+        else None,
+        bn["weight"],
+        bn["bias"],
+        bn["running_mean"],
+        bn["running_var"],
     )
     return {
         "dw": _conv_act(dw_w, dw_b),
