@@ -128,6 +128,100 @@ class TestInferenceModeConversion:
         )
 
 
+class TestAdapterIntegration:
+    def test_backbone_loads_local_checkpoint_with_vision(self, tmp_path):
+        """Full path: config.json + safetensors (decoder + projector + vision
+        in Apple layout) -> FastVLMBackbone with converted, non-random
+        weights."""
+        import json
+
+        from safetensors.numpy import save_file
+
+        from vla_fastvlm_tpu.model.fastvlm_adapter import (
+            FastVLMBackbone,
+            FastVLMBackboneConfig,
+        )
+        from vla_fastvlm_tpu.models.qwen2 import qwen2_tiny
+
+        cfg = fastvithd_tiny()
+        tc = qwen2_tiny()
+        rng = np.random.default_rng(3)
+
+        sd = make_inference_mode_dict(cfg, rng)
+        # decoder + projector (HF layout)
+        sd["model.embed_tokens.weight"] = rng.standard_normal(
+            (tc.vocab_size, tc.hidden_size)).astype(np.float32)
+        sd["model.norm.weight"] = np.ones(tc.hidden_size, np.float32)
+        sd["model.mm_projector.0.weight"] = rng.standard_normal(
+            (tc.hidden_size, cfg.out_channels)).astype(np.float32)
+        sd["model.mm_projector.0.bias"] = np.zeros(tc.hidden_size, np.float32)
+        sd["model.mm_projector.2.weight"] = rng.standard_normal(
+            (tc.hidden_size, tc.hidden_size)).astype(np.float32)
+        sd["model.mm_projector.2.bias"] = np.zeros(tc.hidden_size, np.float32)
+        d = tc.resolved_head_dim
+        for i in range(tc.num_hidden_layers):
+            p = f"model.layers.{i}."
+            sd[p + "input_layernorm.weight"] = np.ones(tc.hidden_size, np.float32)
+            sd[p + "post_attention_layernorm.weight"] = np.ones(
+                tc.hidden_size, np.float32)
+            sd[p + "self_attn.q_proj.weight"] = rng.standard_normal(
+                (tc.num_attention_heads * d, tc.hidden_size)).astype(np.float32)
+            sd[p + "self_attn.q_proj.bias"] = np.zeros(
+                tc.num_attention_heads * d, np.float32)
+            sd[p + "self_attn.k_proj.weight"] = rng.standard_normal(
+                (tc.num_key_value_heads * d, tc.hidden_size)).astype(np.float32)
+            sd[p + "self_attn.k_proj.bias"] = np.zeros(
+                tc.num_key_value_heads * d, np.float32)
+            sd[p + "self_attn.v_proj.weight"] = rng.standard_normal(
+                (tc.num_key_value_heads * d, tc.hidden_size)).astype(np.float32)
+            sd[p + "self_attn.v_proj.bias"] = np.zeros(
+                tc.num_key_value_heads * d, np.float32)
+            sd[p + "self_attn.o_proj.weight"] = rng.standard_normal(
+                (tc.hidden_size, tc.num_attention_heads * d)).astype(np.float32)
+            sd[p + "mlp.gate_proj.weight"] = rng.standard_normal(
+                (tc.intermediate_size, tc.hidden_size)).astype(np.float32)
+            sd[p + "mlp.up_proj.weight"] = rng.standard_normal(
+                (tc.intermediate_size, tc.hidden_size)).astype(np.float32)
+            sd[p + "mlp.down_proj.weight"] = rng.standard_normal(
+                (tc.hidden_size, tc.intermediate_size)).astype(np.float32)
+
+        (tmp_path / "config.json").write_text(json.dumps({
+            "model_type": "llava_qwen2",
+            "hidden_size": tc.hidden_size,
+            "num_hidden_layers": tc.num_hidden_layers,
+            "num_attention_heads": tc.num_attention_heads,
+            "num_key_value_heads": tc.num_key_value_heads,
+            "intermediate_size": tc.intermediate_size,
+            "vocab_size": tc.vocab_size,
+            "mm_vision_tower": "fastvithd_64",
+        }))
+        save_file(sd, str(tmp_path / "model.safetensors"))
+
+        backbone = FastVLMBackbone(FastVLMBackboneConfig(
+            model_id=str(tmp_path),
+            bootstrap_model_id="fastvlm-tiny",
+            tokenizer_max_length=16,
+        ))
+        assert backbone.expected_size == 64
+        # converted decoder weights landed (not random): exact match
+        qk = backbone.params["language_model"]["layers"]["self_attn"]["q_proj"]["kernel"]
+        np.testing.assert_allclose(
+            np.asarray(qk[0]), sd["model.layers.0.self_attn.q_proj.weight"].T,
+            rtol=1e-6,
+        )
+        # vision weights landed
+        np.testing.assert_allclose(
+            np.asarray(backbone.params["vision_tower"]["stem_0"]["conv"]["bias"]),
+            sd["model.vision_tower.vision_tower.model.patch_embed.0.reparam_conv.bias"],
+            rtol=1e-6,
+        )
+        # and the whole thing runs
+        feats = backbone.forward(
+            np.zeros((1, 3, 64, 64), np.float32), ["pick\n"]
+        )
+        assert np.isfinite(np.asarray(feats, np.float32)).all()
+
+
 class TestTrainModeFold:
     def test_stem_block_branch_fold(self):
         """Train-mode MobileOne stem block folds to conv+1x1+identity sum."""
