@@ -16,17 +16,45 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def _interp_matrix(in_size: int, out_size: int, dtype=np.float32) -> np.ndarray:
+    """(out, in) bilinear interpolation matrix, half-pixel centers
+    (torch ``align_corners=False``, no antialias)."""
+    src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = src.astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(dtype)
+    mat = np.zeros((out_size, in_size), dtype)
+    rows = np.arange(out_size)
+    mat[rows, lo] += 1.0 - w_hi
+    mat[rows, hi] += w_hi
+    return mat
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bilinear resize of (B, C, H, W) with torch ``align_corners=False`` semantics."""
-    b, c, _, _ = img.shape
-    return jax.image.resize(
-        img, (b, c, out_h, out_w), method="bilinear", antialias=False
+    """Bilinear resize of (B, C, H, W), torch ``align_corners=False`` semantics.
+
+    Implemented as two matmuls with static interpolation matrices
+    (``out = R_h @ img @ R_w^T``): separable bilinear maps exactly onto the
+    MXU, avoiding the gather-based lowering of ``jax.image.resize`` (the
+    reference's ``F.interpolate`` is the same math, ``fastvlm_adapter.py:48``).
+    """
+    b, c, in_h, in_w = img.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return img
+    r_h = jnp.asarray(_interp_matrix(in_h, out_h), jnp.float32)
+    r_w = jnp.asarray(_interp_matrix(in_w, out_w), jnp.float32)
+    out = jnp.einsum(
+        "oh,bchw,pw->bcop", r_h, img.astype(jnp.float32), r_w,
+        preferred_element_type=jnp.float32,
     )
+    return out.astype(img.dtype)
 
 
 def resize_with_pad(
