@@ -91,6 +91,28 @@ class TestBackboneAdapter:
                     )
                 )
 
+    def test_as_bchw_accepts_pil_and_mixed_layouts(self):
+        from PIL import Image
+
+        backbone = FastVLMBackbone(
+            FastVLMBackboneConfig(model_id="fastvlm-tiny", tokenizer_max_length=16)
+        )
+        rng = np.random.default_rng(0)
+        pil = Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8), mode="RGB"
+        )
+        out = backbone._as_bchw([pil, pil])
+        assert out.shape == (2, 3, 40, 50)
+        # BHWC auto-transpose
+        bhwc = rng.random((2, 40, 50, 3), dtype=np.float32)
+        assert backbone._as_bchw(bhwc).shape == (2, 3, 40, 50)
+        # CHW single image
+        chw = rng.random((3, 8, 8), dtype=np.float32)
+        assert backbone._as_bchw(chw).shape == (1, 3, 8, 8)
+        # grayscale HW
+        hw = rng.random((8, 8), dtype=np.float32)
+        assert backbone._as_bchw([hw]).shape == (1, 1, 8, 8)
+
     def test_text_only_parity_mode(self):
         backbone = FastVLMBackbone(
             FastVLMBackboneConfig(
