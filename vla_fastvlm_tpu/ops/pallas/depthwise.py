@@ -37,36 +37,51 @@ LANES = 128
 
 
 def _dw_kernel(
-    x_ref,  # HBM: (B, H+2p, W+2p, C)
+    x_ref,  # HBM: (B, H+2p, W+2p(+align), C)
     w_ref,  # VMEM: (k, k, LANES)
     b_ref,  # VMEM: (1, LANES)
     o_ref,  # VMEM: (1, HB, W, LANES)
-    tile,  # scratch VMEM: (HB+2p, W+2p, LANES)
-    sem,
+    tiles,  # scratch VMEM: (2, HB+2p, W_dma, LANES) double buffer
+    sems,  # DMA semaphores (2,)
     *,
     k: int,
     hb: int,
     w_out: int,
     activate: bool,
+    n_htiles: int,
 ):
     bi = pl.program_id(0)
     cb = pl.program_id(1)
     hi = pl.program_id(2)
     p2 = k - 1  # 2 * pad
+    w_dma = tiles.shape[2]
 
-    w_dma = tile.shape[1]  # w_out + p2 rounded up to the 8-sublane tiling
-    copy = pltpu.make_async_copy(
-        x_ref.at[
-            bi,
-            pl.ds(hi * hb, hb + p2),
-            pl.ds(0, w_dma),
-            pl.ds(cb * LANES, LANES),
-        ],
-        tile,
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    def dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            x_ref.at[
+                bi,
+                pl.ds(tile_idx * hb, hb + p2),
+                pl.ds(0, w_dma),
+                pl.ds(cb * LANES, LANES),
+            ],
+            tiles.at[slot],
+            sems.at[slot],
+        )
+
+    slot = hi % 2
+    # Double buffering: the first step of each (batch, channel) row kicks off
+    # its own copy; every step then prefetches the NEXT tile before waiting
+    # on its own, overlapping tile i's compute with tile i+1's DMA.
+    @pl.when(hi == 0)
+    def _():
+        dma(slot, hi).start()
+
+    @pl.when(hi + 1 < n_htiles)
+    def _():
+        dma(1 - slot, hi + 1).start()
+
+    dma(slot, hi).wait()
+    tile = tiles[slot]
 
     acc = jnp.zeros((hb, w_out, LANES), jnp.float32)
     for dy in range(k):
@@ -126,10 +141,12 @@ def depthwise_conv(
     extra_w = w_dma - (w_out + 2 * p)
     x_padded = jnp.pad(x, ((0, 0), (p, p), (p, p + extra_w), (0, 0)))
 
-    grid = (bsz, c // LANES, h // hb)
+    n_htiles = h // hb
+    grid = (bsz, c // LANES, n_htiles)
     out = pl.pallas_call(
         functools.partial(
-            _dw_kernel, k=k, hb=hb, w_out=w_out, activate=activate
+            _dw_kernel, k=k, hb=hb, w_out=w_out, activate=activate,
+            n_htiles=n_htiles,
         ),
         grid=grid,
         in_specs=[
@@ -152,8 +169,11 @@ def depthwise_conv(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w_out, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((hb + 2 * p, w_dma, LANES), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, hb + 2 * p, w_dma, LANES), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
     )(x_padded, w.astype(x.dtype), b.astype(x.dtype).reshape(1, c))
     return out
