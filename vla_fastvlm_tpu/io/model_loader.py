@@ -109,7 +109,18 @@ def resolve_fastvlm_config(
 
         model_type = raw.get("model_type")
         bootstrap = _preset_for(bootstrap_model_id)
-        base_text = bootstrap[0]() if bootstrap else qwen2_0_5b()
+        if bootstrap is not None:
+            base_text = bootstrap[0]()
+        else:
+            base_text = qwen2_0_5b()
+            # Bootstrap may itself be a local checkpoint dir (the reference
+            # borrows the *config class* from it, ``fastvlm_adapter.py:227``;
+            # here we borrow its field values as defaults).
+            boot_path = Path(bootstrap_model_id)
+            boot_cfg_file = boot_path / "config.json"
+            if boot_path.is_dir() and boot_cfg_file.is_file():
+                with open(boot_cfg_file, encoding="utf-8") as f:
+                    base_text = _text_config_from_json(json.load(f), base_text)
 
         if model_type == "llava_qwen2":
             text = _text_config_from_json(raw, base_text)
