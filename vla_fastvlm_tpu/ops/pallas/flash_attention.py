@@ -224,7 +224,7 @@ def _bwd(causal, scale, block_q, residuals, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
-MIN_AUTO_SEQ = 256
+MIN_AUTO_SEQ = 1024
 
 
 def supports_flash(
@@ -232,11 +232,14 @@ def supports_flash(
 ) -> bool:
     """Cheap static check: is the Pallas kernel applicable on this platform?
 
-    ``auto=True`` additionally applies the profitability heuristic: measured
-    on v5e, XLA's batched attention wins below ~256 tokens (the per-grid-cell
-    (T, D) x (D, S) matmuls underutilize the 128x128 MXU), while the fused
-    kernel's skipped HBM round-trip for the (T, S) logits pays off at longer
-    sequences (e.g. 1024px vision stages, long-prompt prefill).
+    ``auto=True`` additionally applies the profitability heuristic. Measured
+    on v5e: XLA's batched attention wins at 80 tokens (backbone 82.6 vs
+    99.4 ms, batch 64/256px) AND still at 320 tokens (116.7 vs 127.1 ms,
+    batch 8/1024px) — the per-grid-cell (T, D) x (D, S) matmuls underutilize
+    the 128x128 MXU at these model shapes (D=64, 2 KV heads). Auto therefore
+    only engages the kernel at genuinely long context (>= 1024 tokens), where
+    the skipped HBM round trip for the (T, S) logits dominates; ``flash``
+    still forces it anywhere supported.
     """
     if backend is None:
         backend = jax.default_backend()
