@@ -37,9 +37,10 @@ A100_EST_ACTIONS_PER_SEC = 60.0
 @dataclass
 class BenchArgs:
     model_id: str = "fastvlm-0.5b"
-    # Fleet-serving batch: large enough to amortize per-dispatch overhead
-    # (the tunnel RTT in this environment — reported on stderr).
-    batch_size: int = 64
+    # Fleet-serving batch: throughput sweet spot measured on v5e (64 -> 791,
+    # 128 -> 913, 256 -> 921 actions/sec/chip at 256px; 128 keeps step
+    # latency at ~138 ms while capturing ~99% of plateau throughput).
+    batch_size: int = 128
     image_size: int = 256
     tokenizer_max_length: int = 64
     dtype: str = "bfloat16"
