@@ -56,6 +56,18 @@ class TestYamlConfig:
         args = parse_cli(Args, ["--config", str(cfg), "--batch-size", "2"])
         assert args.batch_size == 2
 
+    def test_config_equals_spelling(self, tmp_path):
+        cfg = tmp_path / "c.yaml"
+        cfg.write_text("batch_size: 16\n")
+        args = parse_cli(Args, [f"--config={cfg}"])
+        assert args.batch_size == 16
+
+    def test_config_missing_value_errors(self, tmp_path):
+        with pytest.raises(SystemExit, match="requires a path"):
+            parse_cli(Args, ["--config"])
+        with pytest.raises(SystemExit, match="requires a path"):
+            parse_cli(Args, ["--config="])
+
     def test_unknown_yaml_key_rejected(self, tmp_path):
         cfg = tmp_path / "c.yaml"
         cfg.write_text("bogus_key: 1\n")

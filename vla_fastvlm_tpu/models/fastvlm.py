@@ -232,10 +232,15 @@ class FastVLM(nn.Module):
         last_logits = jnp.take_along_axis(
             logits, idx[:, None, None], axis=1
         )[:, 0, :]
-        # The decode clock starts at each sequence's true length, not the
-        # padded width: overwrite the cache index with max length so decode
-        # appends after the longest sequence (right padding keeps per-example
-        # key masks correct via the stored kv mask).
+        # Cache slot accounting: the language model advances the shared
+        # per-batch cursor ``cache["index"]`` by the PADDED prefill width t
+        # (qwen2.py Qwen2Model.__call__, ``index + t``) — decode tokens for
+        # every example land at slot t, t+1, ..., not at each example's true
+        # length. Pad-position slots are dead but harmless: the stored kv
+        # mask marks them invalid so attention never reads them, and RoPE
+        # positions are computed from the true per-example lengths. This
+        # wastes (t - len_i) slots per example; exactness under ragged
+        # prefill+decode is pinned by tests/test_serving.py.
         return last_logits, hidden, new_cache, seq_mask, text_mask
 
     def decode_step(self, input_ids: jnp.ndarray, cache: dict):

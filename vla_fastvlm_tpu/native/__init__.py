@@ -9,6 +9,7 @@ compiler is available, so the package never hard-requires the toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import subprocess
 import threading
@@ -25,11 +26,17 @@ _BUILD_FAILED = False
 
 
 def _build_library() -> Optional[ctypes.CDLL]:
+    # The binary is never checked in: the cache is keyed on a hash of the
+    # source, so a fresh clone (where mtimes are useless) always compiles the
+    # reviewed image_ops.cpp. No -march=native — the .so may be reused on a
+    # host with a different CPU; the op is memory-bound, so portable -O3 is
+    # within noise of the native build.
     src = Path(__file__).parent / "image_ops.cpp"
-    out = Path(__file__).parent / "_image_ops.so"
-    if not out.exists() or out.stat().st_mtime < src.stat().st_mtime:
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    out = Path(__file__).parent / f"_image_ops-{digest}.so"
+    if not out.exists():
         cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
             "-pthread", str(src), "-o", str(out),
         ]
         logger.info("Building native image ops: %s", " ".join(cmd))

@@ -291,6 +291,13 @@ class Trainer:
         return restore
 
     def _end_training(self) -> None:
+        # Close out a still-open profiler trace: if training stops (max_steps,
+        # preemption, exception) before profile_start_step + profile_num_steps
+        # the trace would otherwise dangle and the profile output is lost.
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("Stopped jax.profiler trace (training ended)")
         if self._writer is not None:
             self._writer.flush()
             self._writer.close()

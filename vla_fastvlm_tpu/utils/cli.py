@@ -57,10 +57,22 @@ def parse_cli(
 
     raw_args = list(sys.argv[1:] if args is None else args)
     yaml_defaults: dict = {}
-    if config_flag in raw_args:
-        idx = raw_args.index(config_flag)
-        config_path = raw_args[idx + 1]
-        del raw_args[idx: idx + 2]
+    config_path = None
+    # Accept both "--config path" and "--config=path" spellings.
+    for idx, arg in enumerate(raw_args):
+        if arg == config_flag:
+            if idx + 1 >= len(raw_args):
+                raise SystemExit(f"{config_flag} requires a path argument")
+            config_path = raw_args[idx + 1]
+            del raw_args[idx: idx + 2]
+            break
+        if arg.startswith(config_flag + "="):
+            config_path = arg[len(config_flag) + 1:]
+            if not config_path:
+                raise SystemExit(f"{config_flag} requires a path argument")
+            del raw_args[idx]
+            break
+    if config_path is not None:
         import yaml
 
         with open(config_path, encoding="utf-8") as f:
