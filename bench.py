@@ -53,10 +53,25 @@ class BenchArgs:
     mode: str = "serve"
     attention_impl: str = "auto"
     max_new_tokens: int = 64
+    # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).
+    # TP shards the Qwen2 decoder Megatron-style, DP splits the batch — the
+    # 7B-on-v5e-8 serving configuration is --dp 2 --tp 4.
+    dp: int = 1
+    tp: int = 1
 
 
 def main(args: BenchArgs) -> None:
     if args.device:
+        import os
+
+        if args.dp * args.tp > 1 and args.device == "cpu":
+            # virtual multi-device CPU mesh for local sharded-serving smoke
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags
+                    + f" --xla_force_host_platform_device_count={args.dp * args.tp}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", args.device)
@@ -98,7 +113,38 @@ def main(args: BenchArgs) -> None:
         _bench_generate(args, model, images, ids, mask)
         return
 
-    step = jax.jit(model.apply_fn)
+    n_chips = args.dp * args.tp
+    if n_chips > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vla_fastvlm_tpu.parallel import make_mesh, shard_batch, shard_params
+
+        mesh = make_mesh(data=args.dp, model=args.tp)
+        params = shard_params(mesh, params)
+        sharded = shard_batch(
+            mesh, {"images": images, "ids": ids, "mask": mask, "states": states}
+        )
+        images, ids, mask, states = (
+            sharded["images"], sharded["ids"], sharded["mask"], sharded["states"]
+        )
+        step = jax.jit(
+            model.apply_fn, out_shardings=NamedSharding(mesh, P())
+        )
+        print(f"[bench] mesh dp={args.dp} tp={args.tp}", file=sys.stderr)
+    else:
+        step = jax.jit(model.apply_fn)
+
+    # Model FLOPs per step from XLA's cost model on the compiled program;
+    # feeds the MFU column of BASELINE.md.
+    from vla_fastvlm_tpu.utils.flops import compiled_flops, mfu
+
+    try:
+        step_flops = compiled_flops(
+            step.lower(params, images, ids, mask, states).compile()
+        )
+    except Exception as exc:  # pragma: no cover - backend dependent
+        print(f"[bench] cost analysis unavailable: {exc}", file=sys.stderr)
+        step_flops = None
 
     # Dispatch-overhead floor (tunnel RTT on remote backends): time a trivial
     # jitted op with a host fetch. Reported for transparency; not subtracted.
@@ -141,25 +187,29 @@ def main(args: BenchArgs) -> None:
     elapsed = sum(latencies)
     p50 = sorted(latencies)[len(latencies) // 2]
 
-    actions_per_sec = args.iters * b / elapsed
+    actions_per_sec = args.iters * b / elapsed / n_chips
+    step_mfu = mfu(step_flops, p50, n_chips=n_chips)
     print(
         f"[bench] {args.iters} iters x batch {b} in {elapsed:.3f}s "
-        f"(p50 {p50 * 1e3:.1f} ms/step, mean {elapsed / args.iters * 1e3:.1f} ms)",
+        f"(p50 {p50 * 1e3:.1f} ms/step, mean {elapsed / args.iters * 1e3:.1f} ms)"
+        + (f", {step_flops / 1e9:.1f} GFLOP/step" if step_flops else "")
+        + (f", MFU {step_mfu * 100:.1f}%" if step_mfu is not None else ""),
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"fastvla {args.model_id} serving throughput "
-                    f"(batch {b}, {args.image_size}px, chunk 1)"
-                ),
-                "value": round(actions_per_sec, 2),
-                "unit": "actions/sec/chip",
-                "vs_baseline": round(actions_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
-            }
-        )
-    )
+    result = {
+        "metric": (
+            f"fastvla {args.model_id} serving throughput "
+            f"(batch {b}, {args.image_size}px, chunk 1"
+            + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
+            + ")"
+        ),
+        "value": round(actions_per_sec, 2),
+        "unit": "actions/sec/chip",
+        "vs_baseline": round(actions_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
+    }
+    if step_mfu is not None:
+        result["mfu"] = round(step_mfu, 4)
+    print(json.dumps(result))
 
 
 def _bench_generate(args: BenchArgs, model, images, ids, mask) -> None:

@@ -74,3 +74,97 @@ def test_7b_decoder_tp_compiles_on_mesh():
     )
     per_device_model_shard = total / 4  # model axis 4
     assert per_device_model_shard < 8e9, per_device_model_shard
+
+
+@pytest.mark.slow
+def test_7b_serving_prefill_decode_tp_compiles_on_mesh():
+    """The BASELINE.json north-star path: FastVLM-7B *inference* sharded over
+    a v5e-8-shaped mesh — multimodal prefill into a model-sharded KV cache
+    plus one decode step — AOT-compiles with TP collectives (VERDICT r1 #2)."""
+    from vla_fastvlm_tpu.models import FastVLM
+    from vla_fastvlm_tpu.models.fastvit import fastvithd
+    from vla_fastvlm_tpu.models.fastvlm import FastVLMConfig
+    from vla_fastvlm_tpu.models.qwen2 import qwen2_7b
+    from vla_fastvlm_tpu.parallel import cache_shardings
+
+    mesh = make_mesh(data=2, model=4)
+    cfg = FastVLMConfig(
+        vision=fastvithd(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16),
+        text=qwen2_7b(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16),
+        image_size=256,
+    )
+    model = FastVLM(cfg)
+
+    from vla_fastvlm_tpu.serving import build_cache
+
+    b, t, new = 8, 64, 4
+    # init through prefill: 7B is untied, lm_head only exists on that path
+    params_shape = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 3, 256, 256), jnp.bfloat16),
+            jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), jnp.int32),
+            build_cache(cfg, 1, 4, 1),
+            method=FastVLM.prefill,
+        )
+    )["params"]
+    abstract_params = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        params_shape,
+        param_shardings(mesh, params_shape),
+    )
+
+    cache_shape = jax.eval_shape(lambda: build_cache(cfg, b, t, new))
+    cache_sh = cache_shardings(mesh, cache_shape)
+    # kv heads (4) divide the model axis (4): decode cache stays chip-local
+    assert cache_shape["k"].shape[3] == 4
+    abstract_cache = {
+        key: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=cache_sh[key])
+        for key, s in cache_shape.items()
+    }
+
+    data_sharding = NamedSharding(mesh, batch_spec())
+    imgs = jax.ShapeDtypeStruct((b, 3, 256, 256), jnp.bfloat16, sharding=data_sharding)
+    ids = jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=data_sharding)
+    mask = jax.ShapeDtypeStruct((b, t), jnp.int32, sharding=data_sharding)
+    tok = jax.ShapeDtypeStruct((b, 1), jnp.int32, sharding=data_sharding)
+
+    def prefill(params, imgs, ids, mask, cache):
+        last, _, cache, _, _ = model.apply(
+            {"params": params}, imgs, ids, mask, cache, method=FastVLM.prefill
+        )
+        return last, cache
+
+    def decode(params, tok, cache):
+        logits, cache = model.apply(
+            {"params": params}, tok, cache, method=FastVLM.decode_step
+        )
+        return logits, cache
+
+    with mesh:
+        compiled_prefill = (
+            jax.jit(prefill)
+            .lower(abstract_params, imgs, ids, mask, abstract_cache)
+            .compile()
+        )
+        compiled_decode = (
+            jax.jit(decode).lower(abstract_params, tok, abstract_cache).compile()
+        )
+
+    for compiled in (compiled_prefill, compiled_decode):
+        hlo = compiled.as_text()
+        assert (
+            "all-reduce" in hlo or "all-gather" in hlo or "reduce-scatter" in hlo
+        )
+
+    # Serving memory budget on one v5e chip (16 GB): param shard + cache shard
+    param_bytes = sum(
+        np.prod(s.shape) * 2 for s in jax.tree_util.tree_leaves(params_shape)
+    )
+    cache_bytes = sum(
+        np.prod(s.shape) * s.dtype.itemsize
+        for s in jax.tree_util.tree_leaves(cache_shape)
+    )
+    per_chip = param_bytes / 4 + cache_bytes / 8  # model=4, data*model=8
+    assert per_chip < 8e9, per_chip

@@ -126,3 +126,71 @@ class TestShardedTrainStep:
         shardings = param_shardings(mesh, policy.params)
         # same tree structure
         jax.tree_util.tree_map(lambda a, b: None, policy.params, shardings)
+
+
+class TestShardedServing:
+    """TP x DP serving path (VERDICT r1 #2): the policy step and KV-cached
+    generation run sharded over the mesh and match single-device outputs."""
+
+    def test_sharded_policy_forward_matches_single_device(self):
+        from vla_fastvlm_tpu.serving import ActionQueuePolicy, ShardedPolicyRuntime
+
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        mesh = make_mesh(data=4, model=2)
+        runtime = ShardedPolicyRuntime(policy, mesh)
+
+        rng = np.random.default_rng(1)
+        images = rng.random((8, 3, 32, 32), dtype=np.float32)
+        states = rng.standard_normal((8, 4)).astype(np.float32)
+        tasks = ["move the block"] * 8
+
+        ref = np.asarray(policy.forward(images, states, tasks))
+        out = np.asarray(runtime.forward(images, states, tasks))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+        # sharded runtime slots into the chunked serving wrapper unchanged
+        queue = ActionQueuePolicy(runtime, n_action_steps=1)
+        action = queue.select_action(
+            {"images": images, "states": states, "tasks": tasks}
+        )
+        np.testing.assert_allclose(np.asarray(action), ref, atol=2e-5)
+
+    def test_batch_not_divisible_by_dp_raises(self):
+        from vla_fastvlm_tpu.serving import ShardedPolicyRuntime
+
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        runtime = ShardedPolicyRuntime(policy, make_mesh(data=4, model=2))
+        rng = np.random.default_rng(2)
+        with pytest.raises(ValueError, match="not divisible"):
+            runtime.forward(
+                rng.random((6, 3, 32, 32), dtype=np.float32),
+                rng.standard_normal((6, 4)).astype(np.float32),
+                ["t"] * 6,
+            )
+
+    def test_sharded_generate_matches_unsharded(self):
+        from vla_fastvlm_tpu.models import FastVLM, fastvlm_tiny
+        from vla_fastvlm_tpu.serving import generate, sharded_generate
+
+        cfg = fastvlm_tiny()
+        model = FastVLM(cfg)
+        ids = jnp.ones((1, 8), jnp.int32)
+        imgs = jnp.zeros((1, 3, 64, 64))
+        params = model.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+
+        rng = np.random.default_rng(3)
+        b, t = 4, 10
+        input_ids = jnp.asarray(rng.integers(3, 500, (b, t)), jnp.int32)
+        mask = jnp.ones((b, t), jnp.int32)
+        images = jnp.asarray(rng.random((b, 3, 64, 64), dtype=np.float32))
+
+        ref = np.asarray(
+            generate(model, params, images, input_ids, mask, max_new_tokens=6)
+        )
+        mesh = make_mesh(data=4, model=2)
+        out = np.asarray(
+            sharded_generate(
+                model, params, images, input_ids, mask, mesh, max_new_tokens=6
+            )
+        )
+        np.testing.assert_array_equal(out, ref)

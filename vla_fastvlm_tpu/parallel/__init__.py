@@ -10,8 +10,10 @@ from .mesh import (
 from .sharding import (
     batch_shardings,
     batch_spec,
+    cache_shardings,
     param_shardings,
     shard_batch,
+    shard_cache,
     shard_params,
     spec_for_param,
 )
@@ -21,6 +23,8 @@ __all__ = [
     "MODEL_AXIS",
     "batch_shardings",
     "batch_spec",
+    "cache_shardings",
+    "shard_cache",
     "initialize_distributed",
     "make_mesh",
     "param_shardings",

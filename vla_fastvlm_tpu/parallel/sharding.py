@@ -91,6 +91,30 @@ def shard_params(mesh: Mesh, params: Dict) -> Dict:
     return jax.device_put(params, shardings)
 
 
+def cache_shardings(mesh: Mesh, cache: Dict[str, Any]) -> Dict[str, Any]:
+    """NamedShardings for a KV cache pytree (``models/qwen2.init_kv_cache``).
+
+    K/V buffers are (L, B, S, K_heads, D): batch over ``data`` (DP), kv heads
+    over ``model`` (TP) — matching the head split the TP rules give the
+    q/k/v projections, so cached keys/values live on the chip that computes
+    that head's attention and decode needs no cache collectives. The mask
+    (B, S) and per-example cursor (B,) follow the batch axis.
+    """
+    specs = {
+        "k": P(None, DATA_AXIS, None, MODEL_AXIS, None),
+        "v": P(None, DATA_AXIS, None, MODEL_AXIS, None),
+        "mask": P(DATA_AXIS, None),
+        "index": P(DATA_AXIS),
+    }
+    return {key: NamedSharding(mesh, specs[key]) for key in cache}
+
+
+def shard_cache(mesh: Mesh, cache: Dict[str, Any]) -> Dict[str, Any]:
+    """Place a KV cache onto the mesh (batch over data, kv heads over model)."""
+    shardings = cache_shardings(mesh, cache)
+    return {key: jax.device_put(value, shardings[key]) for key, value in cache.items()}
+
+
 def shard_batch(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
     """Place batch arrays with the leading dim split over ``data``."""
     return {

@@ -1,14 +1,17 @@
 """Serving layer (SURVEY.md §7.1 layer 7): KV-cached generation + closed-loop
-policy runtime."""
+policy runtime, single-chip and mesh-sharded (TP x DP)."""
 
 from .continuous_batching import GenerationServer
 from .generate import build_cache, generate
 from .policy_runtime import ActionQueuePolicy, BatchedEnvRunner
+from .sharded import ShardedPolicyRuntime, sharded_generate
 
 __all__ = [
     "ActionQueuePolicy",
     "BatchedEnvRunner",
     "GenerationServer",
+    "ShardedPolicyRuntime",
     "build_cache",
     "generate",
+    "sharded_generate",
 ]
