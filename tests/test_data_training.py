@@ -204,6 +204,37 @@ class TestTrainer:
         trainer = Trainer(policy, loader, None, cfg)
         assert trainer.config.mixed_precision == "no"
 
+    def test_keep_last_n_prunes_old_checkpoints(self, tmp_path):
+        """save_steps=1 over 6 steps with keep_last_n=2 leaves exactly the
+        two newest step-* dirs (async writes joined at end of training)."""
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        ds = make_dataset(8)
+        loader = create_aloha_dataloader(ds, batch_size=8, shuffle=False, num_workers=0)
+        cfg = TrainingConfig(
+            output_dir=str(tmp_path), num_epochs=6, save_steps=1,
+            keep_last_n=2, report_to=[], mixed_precision=None,
+        )
+        Trainer(policy, loader, None, cfg).fit()
+        ckpts = sorted(
+            (tmp_path / "checkpoints").glob("step-*"),
+            key=lambda p: int(p.name.split("-")[1]),
+        )
+        assert [c.name for c in ckpts] == ["step-5", "step-6"]
+        # the survivors are loadable
+        from vla_fastvlm_tpu.utils import load_policy_from_checkpoint
+
+        load_policy_from_checkpoint(ckpts[-1])
+
+    def test_prune_checkpoints_ignores_non_step_dirs(self, tmp_path):
+        from vla_fastvlm_tpu.io.checkpoint import prune_checkpoints
+
+        for name in ("step-1", "step-2", "step-10", "preempt-step3", "final"):
+            (tmp_path / name).mkdir()
+        removed = prune_checkpoints(tmp_path, keep_last_n=1)
+        assert sorted(p.name for p in removed) == ["step-1", "step-2"]
+        left = sorted(p.name for p in tmp_path.iterdir())
+        assert left == ["final", "preempt-step3", "step-10"]
+
     def test_preemption_checkpoint(self, tmp_path):
         """SIGTERM-style preemption saves a resumable checkpoint mid-run."""
         policy = FastVLAPolicy(FastVLAConfig(**TINY))

@@ -48,6 +48,7 @@ class FastVLAConfig:
     dtype: str = "float32"
     param_dtype: str = "float32"
     attention_impl: str = "auto"  # "auto" | "flash" | "xla"
+    vision_block_impl: str = "auto"  # "auto" | "fused" | "xla"
     train_backbone: bool = False
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation memory when training the backbone.
@@ -76,6 +77,7 @@ class FastVLAConfig:
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attention_impl=self.attention_impl,
+            vision_block_impl=self.vision_block_impl,
             train_backbone=self.train_backbone,
             gradient_checkpointing=self.gradient_checkpointing,
             num_cameras=self.num_cameras,

@@ -165,6 +165,33 @@ def _merge_partial(base: Dict, overlay: Dict) -> Dict:
     return out
 
 
+def prune_checkpoints(checkpoints_dir: str | Path, keep_last_n: int) -> list:
+    """Delete the oldest ``step-N`` checkpoint dirs beyond ``keep_last_n``.
+
+    Only numbered ``step-N`` directories participate; preemption/final
+    checkpoints are never pruned. Returns the removed paths. (The reference
+    writes unbounded checkpoints — 100 full policy+opt dirs over its default
+    100k-step recipe; keep-last-N is the TPU build's GC.)
+    """
+    import re
+    import shutil
+
+    checkpoints_dir = Path(checkpoints_dir)
+    if keep_last_n is None or keep_last_n <= 0 or not checkpoints_dir.exists():
+        return []
+    steps = []
+    for child in checkpoints_dir.iterdir():
+        match = re.fullmatch(r"step-(\d+)", child.name)
+        if match and child.is_dir():
+            steps.append((int(match.group(1)), child))
+    steps.sort()
+    removed = []
+    for _, path in steps[:-keep_last_n] if keep_last_n else steps:
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
+
+
 # ----------------------------------------------------------------------
 # train state (resume): orbax
 

@@ -88,6 +88,10 @@ class FastVLMBackboneConfig:
     # Decoder attention implementation: "auto" (Pallas flash on TPU where
     # profitable), "flash" (force), "xla" (never).
     attention_impl: str = "auto"
+    # Vision RepMixer block implementation: "auto" (fused Pallas block kernel
+    # on TPU where supported), "fused" (force; errors when unsupported),
+    # "xla" (unfused composition).
+    vision_block_impl: str = "auto"
     # jax.checkpoint the decoder blocks (memory for FLOPs; only matters when
     # the backbone itself trains).
     gradient_checkpointing: bool = False
@@ -147,6 +151,9 @@ class FastVLMBackbone:
             text=self.model_config.text.replace(
                 attention_impl=cfg.attention_impl,
                 remat=cfg.gradient_checkpointing,
+            ),
+            vision=self.model_config.vision.replace(
+                block_impl=cfg.vision_block_impl,
             ),
         )
 

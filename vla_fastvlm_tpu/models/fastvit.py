@@ -31,6 +31,7 @@ import math
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
@@ -52,6 +53,11 @@ class FastViTHDConfig:
     # Final conv expansion ratio: 1536 -> 3072 visual feature width.
     final_expand_ratio: float = 2.0
     layer_scale_init: float = 1e-5
+    # RepMixer block implementation: "auto" picks the fused Pallas block
+    # kernel (ops/pallas/repmixer.py) on TPU when the shape qualifies,
+    # "fused" forces it (error when unsupported — no silent fallback),
+    # "xla" keeps the unfused composition.
+    block_impl: str = "auto"
     # Per-channel affine in attention blocks: folded inference BatchNorm.
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -253,15 +259,62 @@ class ChannelAffine(nn.Module):
 
 
 class RepMixerBlock(nn.Module):
-    """Token mixing via reparameterized dw conv + ConvFFN."""
+    """Token mixing via reparameterized dw conv + ConvFFN.
+
+    Dispatches between the unfused Flax composition and the fused Pallas
+    block kernel (``ops/pallas/repmixer.py`` — one HBM round trip per block
+    instead of five) per ``cfg.block_impl``. Both paths share the same
+    parameter tree; exactness is pinned by ``tests/test_repmixer_kernel.py``.
+    """
 
     cfg: FastViTHDConfig
     mlp_ratio: float
+
+    def _use_fused(self, x, hidden: int) -> bool:
+        from ..ops.pallas.repmixer import supports_fused_repmixer
+
+        impl = self.cfg.block_impl
+        if impl == "xla":
+            return False
+        if impl == "fused":
+            # Explicit force: only the shape must qualify (backend is the
+            # user's call — e.g. interpreter mode in tests). Errors instead
+            # of silently degrading.
+            if not supports_fused_repmixer(tuple(x.shape), hidden, backend="tpu"):
+                raise ValueError(
+                    f"block_impl='fused' but shape {x.shape} hidden={hidden} "
+                    "is unsupported by the fused RepMixer kernel"
+                )
+            return True
+        supported = supports_fused_repmixer(tuple(x.shape), hidden)
+        if impl == "auto":
+            from ..ops.pallas.repmixer import AUTO_PROFITABLE
+
+            return supported and AUTO_PROFITABLE
+        raise ValueError(f"unknown block_impl {impl!r}")
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         cfg = self.cfg
+        hidden = int(c * self.mlp_ratio)
+        if not self.is_initializing() and self._use_fused(x, hidden):
+            from ..ops.pallas.repmixer import repmixer_block
+
+            p = self.variables["params"]
+            ffn = p["convffn"]
+            return repmixer_block(
+                x.astype(cfg.dtype),
+                p["token_mixer"]["conv"]["kernel"],
+                p["token_mixer"]["conv"]["bias"],
+                ffn["dw"]["conv"]["kernel"],
+                ffn["dw"]["conv"]["bias"],
+                ffn["fc1"]["conv"]["kernel"],
+                ffn["fc1"]["conv"]["bias"],
+                ffn["fc2"]["conv"]["kernel"],
+                ffn["fc2"]["conv"]["bias"],
+                p["layer_scale"]["gamma"],
+            )
         x = RepDWConv(3, cfg.dtype, cfg.param_dtype, name="token_mixer")(x)
         ffn = ConvFFN(int(c * self.mlp_ratio), cfg, name="convffn")(x)
         ffn = LayerScale(c, cfg.layer_scale_init, cfg.param_dtype, name="layer_scale")(ffn)

@@ -1,20 +1,32 @@
 """Continuous-batching generation server (BASELINE.json config #5 direction).
 
-Slot-based continuous batching over the FastVLM KV cache: requests prefill
-into a free slot as they arrive while decode ticks run across ALL slots in
-one jitted program — no waiting for a full batch and no head-of-line blocking
-by long generations. This is the standard TPU serving shape: three compiled
-programs total (single-request prefill, slot insert, batched decode tick),
-everything static-shape, slot state tracked on the host.
+Slot-based continuous batching over the FastVLM KV cache: requests are
+admitted any time while decode ticks run across ALL slots in one jitted
+program — no waiting for a full batch and no head-of-line blocking by long
+generations. TPU serving structure:
+
+- **Batched admission**: ``submit`` only queues host-side; pending requests
+  are prefilled ``prefill_batch`` at a time in ONE compiled program at the
+  next ``step`` (or explicit ``flush``). Short of a full admission batch the
+  same program runs with zero-masked dummy rows — one compiled shape.
+- **In-place cache updates**: the slot-insert and decode-tick programs
+  donate the cache buffers (``jax.jit(..., donate_argnums=0)``), so XLA
+  aliases them instead of round-tripping the full (L, B, S, K, D) cache
+  through fresh allocations on every admission/tick.
+- **Trash slot**: the cache carries one extra slot that dummy admission rows
+  prefill into; it is never decoded from or read back, so no masking logic
+  leaks into the compiled programs.
 
 Relies on the per-example cache cursors in ``models/qwen2.py`` (each slot's
-write position advances independently).
+write position advances independently). Exactness vs sequential generation
+is pinned by ``tests/test_continuous_batching.py`` including an interleaved
+submit/tick load test.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +44,14 @@ class _Slot:
     remaining: int = 0
 
 
+@dataclasses.dataclass
+class _Pending:
+    request_id: int
+    input_ids: np.ndarray  # (1, T)
+    attention_mask: np.ndarray  # (1, T)
+    images: Optional[np.ndarray]  # (1, 3, S, S) | None
+
+
 class GenerationServer:
     """Admit requests any time; tick decode across all occupied slots."""
 
@@ -43,6 +63,7 @@ class GenerationServer:
         prompt_len: int = 64,
         max_new_tokens: int = 32,
         eos_token_id: int = 2,
+        prefill_batch: int = 4,
     ) -> None:
         self.model = model
         self.params = params
@@ -50,33 +71,53 @@ class GenerationServer:
         self.prompt_len = prompt_len
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
+        self.prefill_batch = max(1, min(prefill_batch, num_slots))
 
         cfg = model.cfg
         self._cache_len = cfg.num_image_tokens + prompt_len + max_new_tokens
-        self.cache = init_kv_cache(cfg.text, num_slots, self._cache_len)
+        # +1 trash slot: dummy admission rows land there (never decoded).
+        self.cache = init_kv_cache(cfg.text, num_slots + 1, self._cache_len)
         self._slots = [_Slot() for _ in range(num_slots)]
+        self._pending: List[_Pending] = []
         self._next_rid = 0
-        self._pending_token = np.full(num_slots, eos_token_id, np.int32)
+        self._pending_token = np.full(num_slots + 1, eos_token_id, np.int32)
         self._finished_buffer: Dict[int, List[int]] = {}
 
-        def prefill_one(params, images, ids, mask):
-            cache1 = init_kv_cache(cfg.text, 1, self._cache_len)
-            last_logits, _, cache1, _, _ = model.apply(
-                {"params": params}, images, ids, mask, cache1,
+        bp = self.prefill_batch
+
+        def prefill_batched(params, images, ids, mask):
+            cache_p = init_kv_cache(cfg.text, bp, self._cache_len)
+            last_logits, _, cache_p, _, _ = model.apply(
+                {"params": params}, images, ids, mask, cache_p,
                 method=FastVLM.prefill,
             )
-            return jnp.argmax(last_logits, axis=-1).astype(jnp.int32), cache1
+            return jnp.argmax(last_logits, axis=-1).astype(jnp.int32), cache_p
 
-        def insert(cache, cache1, slot):
-            def put(buf, new):
+        def insert(cache, cache_p, slots):
+            # slots: (bp,) int32 slot index per admitted row (trash slot for
+            # dummies). Unrolled static loop; the donated cache makes each
+            # dynamic_update_slice an in-place write.
+            def put_row(buf, new, row, slot):
                 if buf.ndim >= 4:  # (L, B, S, ...) k/v
                     start = (0, slot) + (0,) * (buf.ndim - 2)
-                    return jax.lax.dynamic_update_slice(buf, new, start)
+                    return jax.lax.dynamic_update_slice(
+                        buf, new[:, row : row + 1], start
+                    )
                 if buf.ndim == 2:  # (B, S) mask
-                    return jax.lax.dynamic_update_slice(buf, new, (slot, 0))
-                return jax.lax.dynamic_update_slice(buf, new, (slot,))  # (B,) index
+                    return jax.lax.dynamic_update_slice(
+                        buf, new[row : row + 1], (slot, 0)
+                    )
+                return jax.lax.dynamic_update_slice(
+                    buf, new[row : row + 1], (slot,)
+                )  # (B,) index
 
-            return jax.tree_util.tree_map(put, cache, cache1)
+            for row in range(bp):
+                cache = jax.tree_util.tree_map(
+                    lambda b, n, row=row: put_row(b, n, row, slots[row]),
+                    cache,
+                    cache_p,
+                )
+            return cache
 
         def decode(params, tokens, cache):
             logits, cache = model.apply(
@@ -85,18 +126,21 @@ class GenerationServer:
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
-        self._prefill = jax.jit(prefill_one)
-        self._insert = jax.jit(insert)
-        self._decode = jax.jit(decode)
+        self._prefill = jax.jit(prefill_batched)
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+        self._decode = jax.jit(decode, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
 
     def has_free_slot(self) -> bool:
-        return any(not s.active for s in self._slots)
+        return self._free_slot_count() > 0
+
+    def _free_slot_count(self) -> int:
+        return sum(not s.active for s in self._slots) - len(self._pending)
 
     @property
     def num_active(self) -> int:
-        return sum(s.active for s in self._slots)
+        return sum(s.active for s in self._slots) + len(self._pending)
 
     def submit(
         self,
@@ -104,32 +148,74 @@ class GenerationServer:
         attention_mask: np.ndarray,
         images: Optional[np.ndarray] = None,  # (1, 3, S, S) when multimodal
     ) -> int:
-        """Prefill into a free slot; returns a request id."""
-        slot_idx = next(
-            (i for i, s in enumerate(self._slots) if not s.active), None
-        )
-        if slot_idx is None:
+        """Queue a request for admission; returns a request id. The prefill
+        itself runs batched at the next ``step``/``flush``."""
+        if self._free_slot_count() <= 0:
             raise RuntimeError("no free generation slots")
-        ids = jnp.asarray(np.atleast_2d(input_ids), jnp.int32)
-        mask = jnp.asarray(np.atleast_2d(attention_mask), jnp.int32)
+        ids = np.atleast_2d(np.asarray(input_ids, np.int32))
+        mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
         if ids.shape[1] != self.prompt_len:
             raise ValueError(
                 f"prompt must be padded to prompt_len={self.prompt_len}, "
                 f"got {ids.shape[1]}"
             )
-        first_token, cache1 = self._prefill(self.params, images, ids, mask)
-        self.cache = self._insert(self.cache, cache1, slot_idx)
-
         rid = self._next_rid
         self._next_rid += 1
-        slot = self._slots[slot_idx]
-        slot.request_id = rid
-        slot.active = True
-        slot.tokens = [int(first_token[0])]
-        slot.remaining = self.max_new_tokens - 1
-        self._pending_token[slot_idx] = int(first_token[0])
-        self._finish_if_done(slot_idx)
+        self._pending.append(_Pending(rid, ids, mask, images))
         return rid
+
+    def flush(self) -> None:
+        """Admit queued requests, ``prefill_batch`` per compiled call."""
+        while self._pending:
+            batch = self._pending[: self.prefill_batch]
+            self._pending = self._pending[len(batch):]
+            self._admit(batch)
+
+    def _admit(self, batch: List[_Pending]) -> None:
+        bp = self.prefill_batch
+        n = len(batch)
+        ids = np.zeros((bp, self.prompt_len), np.int32)
+        mask = np.zeros((bp, self.prompt_len), np.int32)
+        # dummy rows keep one real token so last-position indexing is in
+        # bounds; their cache rows go to the trash slot.
+        ids[n:, 0] = self.eos_token_id
+        mask[n:, 0] = 1
+        images = None
+        if batch[0].images is not None:
+            img0 = np.asarray(batch[0].images)
+            images = np.zeros((bp,) + img0.shape[1:], img0.dtype)
+        slots = np.full(bp, self.num_slots, np.int32)  # default: trash slot
+        free = [i for i, s in enumerate(self._slots) if not s.active]
+        for row, req in enumerate(batch):
+            ids[row] = req.input_ids[0]
+            mask[row] = req.attention_mask[0]
+            if (req.images is None) != (images is None):
+                raise ValueError(
+                    "all requests in a server must be consistently "
+                    "multimodal or text-only"
+                )
+            if images is not None:
+                images[row] = req.images[0]
+            slots[row] = free[row]
+
+        first_tokens, cache_p = self._prefill(
+            self.params,
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
+        self.cache = self._insert(self.cache, cache_p, jnp.asarray(slots))
+        first_host = np.asarray(first_tokens)
+
+        for row, req in enumerate(batch):
+            slot_idx = int(slots[row])
+            slot = self._slots[slot_idx]
+            slot.request_id = req.request_id
+            slot.active = True
+            slot.tokens = [int(first_host[row])]
+            slot.remaining = self.max_new_tokens - 1
+            self._pending_token[slot_idx] = int(first_host[row])
+            self._finish_if_done(slot_idx)
 
     def _finish_if_done(self, slot_idx: int) -> None:
         slot = self._slots[slot_idx]
@@ -145,9 +231,11 @@ class GenerationServer:
         self._finished_buffer[slot.request_id] = list(slot.tokens)
 
     def step(self) -> Dict[int, List[int]]:
-        """One decode tick across all slots; returns finished request outputs
-        (including any that completed at submit time)."""
-        if self.num_active > 0:
+        """Admit pending requests, then one decode tick across all slots;
+        returns finished request outputs (including any that completed at
+        admission time)."""
+        self.flush()
+        if any(s.active for s in self._slots):
             tokens = jnp.asarray(self._pending_token)
             next_tokens, self.cache = self._decode(self.params, tokens, self.cache)
             next_host = np.asarray(next_tokens)

@@ -85,6 +85,13 @@ class TrainingConfig:
     # send SIGTERM before reclaiming the slice; resume_from the preempt
     # checkpoint continues exactly.
     save_on_preemption: bool = True
+    # Asynchronous checkpoint writes: the step loop only snapshots state to
+    # host (device_get); serialization + disk IO run on a background thread
+    # (joined before the next save / at end of training).
+    async_save: bool = True
+    # Keep only the newest N step-* checkpoint dirs (None/0 = keep all).
+    # Preemption/final checkpoints are never pruned.
+    keep_last_n: Optional[int] = 5
 
 
 class Trainer:
@@ -298,6 +305,11 @@ class Trainer:
             jax.profiler.stop_trace()
             self._profiling = False
             logger.info("Stopped jax.profiler trace (training ended)")
+        # Drain any in-flight async checkpoint write before teardown.
+        self._join_pending_save()
+        executor = getattr(self, "_save_executor", None)
+        if executor is not None:
+            executor.shutdown(wait=True)
         if self._writer is not None:
             self._writer.flush()
             self._writer.close()
@@ -392,24 +404,58 @@ class Trainer:
     def _sync_model_params(self) -> None:
         self.model.load_params(self.model.merge_trainable(self.trainable))
 
+    def _join_pending_save(self) -> None:
+        future = getattr(self, "_save_future", None)
+        if future is not None:
+            future.result()  # re-raises background write errors
+            self._save_future = None
+
     def _save_checkpoint(self, suffix: str) -> None:
-        from ..io.checkpoint import save_policy_checkpoint, save_train_state
+        from ..io.checkpoint import (
+            prune_checkpoints,
+            save_policy_checkpoint,
+            save_train_state,
+        )
 
         checkpoint_dir = Path(self.config.output_dir) / "checkpoints" / suffix
         self._sync_model_params()
-        if jax.process_index() == 0:
-            save_policy_checkpoint(checkpoint_dir, self.model.config, self.model.params)
-            save_train_state(
-                checkpoint_dir,
-                {
-                    "opt_state": self.opt_state,
-                    "trainable": self.trainable,
-                    "global_step": self.global_step,
-                    "epoch": self.epoch,
-                    "rng": np.asarray(jax.device_get(self._rng)),
-                },
-            )
-        logger.info("Saved checkpoint %s", checkpoint_dir)
+        if jax.process_index() != 0:
+            return
+        # Snapshot to host now (params mutate next step), write in background.
+        self._join_pending_save()
+        params = jax.device_get(self.model.params)
+        state = jax.device_get(
+            {
+                "opt_state": self.opt_state,
+                "trainable": self.trainable,
+                "global_step": self.global_step,
+                "epoch": self.epoch,
+                "rng": np.asarray(jax.device_get(self._rng)),
+            }
+        )
+        model_config = self.model.config
+
+        def write():
+            save_policy_checkpoint(checkpoint_dir, model_config, params)
+            save_train_state(checkpoint_dir, state)
+            if self.config.keep_last_n:
+                removed = prune_checkpoints(
+                    checkpoint_dir.parent, self.config.keep_last_n
+                )
+                for path in removed:
+                    logger.info("Pruned old checkpoint %s", path)
+            logger.info("Saved checkpoint %s", checkpoint_dir)
+
+        if self.config.async_save:
+            import concurrent.futures
+
+            if not hasattr(self, "_save_executor"):
+                self._save_executor = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ckpt-save"
+                )
+            self._save_future = self._save_executor.submit(write)
+        else:
+            write()
 
     def _load_checkpoint(self, path: str) -> None:
         from ..io.checkpoint import load_train_state
