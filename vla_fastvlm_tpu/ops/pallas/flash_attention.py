@@ -224,7 +224,7 @@ def _bwd(causal, scale, block_q, residuals, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
-MIN_AUTO_SEQ = 1024
+MIN_AUTO_SEQ = 4096
 
 
 def supports_flash(
@@ -233,13 +233,20 @@ def supports_flash(
     """Cheap static check: is the Pallas kernel applicable on this platform?
 
     ``auto=True`` additionally applies the profitability heuristic. Measured
-    on v5e: XLA's batched attention wins at 80 tokens (backbone 82.6 vs
-    99.4 ms, batch 64/256px) AND still at 320 tokens (116.7 vs 127.1 ms,
-    batch 8/1024px) — the per-grid-cell (T, D) x (D, S) matmuls underutilize
-    the 128x128 MXU at these model shapes (D=64, 2 KV heads). Auto therefore
-    only engages the kernel at genuinely long context (>= 1024 tokens), where
-    the skipped HBM round trip for the (T, S) logits dominates; ``flash``
-    still forces it anywhere supported.
+    crossover on v5e (scripts/bench_flash_crossover.py, Qwen2-0.5B shapes
+    B4/N14/KH2/D64, causal+mask, chained-program methodology):
+
+        seq   128   256   512   1024   2048   4096
+        x     0.96  1.06  1.01  0.99   0.88   1.70   (XLA time / flash time)
+
+    XLA's batched attention wins or ties everywhere the serving/training
+    paths actually operate (80-2048 tokens — the per-grid-cell (T, D) x
+    (D, S) matmuls underutilize the 128x128 MXU at D=64 / 2 KV heads, and at
+    S=2048 the whole-K/V-resident tile pressures VMEM); the kernel's skipped
+    (T, S) logits round trip only dominates from ~4k tokens. Auto therefore
+    engages the kernel at >= MIN_AUTO_SEQ; ``flash`` still forces it
+    anywhere supported (and raising, never silently degrading, elsewhere —
+    ``ops/attention.py``).
     """
     if backend is None:
         backend = jax.default_backend()
