@@ -334,9 +334,16 @@ class Trainer:
 
     def _train_one_epoch(self) -> None:
         cfg = self.config
+        # step_time accounting: jitted steps dispatch asynchronously (and on
+        # tunneled backends even block_until_ready lies — CLAUDE.md), so
+        # per-step wall clock on a non-logging step measures dispatch only.
+        # Instead, time the window between metric materializations (each
+        # float(...) fetch is a true sync) and report the amortized per-step
+        # time over the window.
+        window_start = time.perf_counter()
+        window_steps = 0
         for batch in self.train_dataloader:
             self._maybe_profile()
-            step_start = time.perf_counter()
             arrays = self.model.prepare_batch(batch)
             arrays = self._place_batch(arrays)
             self._rng, step_rng = jax.random.split(self._rng)
@@ -346,11 +353,14 @@ class Trainer:
             # Parity quirk: global_step counts *batches* (reference
             # ``trainer.py:184``) while the schedule/stop-count use updates.
             self.global_step += 1
+            window_steps += 1
+            synced = False
 
             if self.global_step % cfg.logging_steps == 0:
                 updates = self.global_step // cfg.gradient_accumulation_steps
-                # Force metric materialization so step_time covers device work.
+                # Metric materialization = device sync: closes the window.
                 loss_value = float(metrics["loss"])
+                step_time = (time.perf_counter() - window_start) / window_steps
                 self._log(
                     {
                         "train/loss": loss_value,
@@ -358,17 +368,24 @@ class Trainer:
                         "train/grad_norm": metrics["grad_norm"],
                         "train/lr": float(self._schedule(updates)),
                         "train/epoch": self.epoch,
-                        "train/step_time_s": time.perf_counter() - step_start,
+                        "train/step_time_s": step_time,
                     },
                     step=self.global_step,
                 )
+                synced = True
 
             if self.global_step % cfg.eval_steps == 0 and self.eval_dataloader is not None:
                 eval_metrics = self.evaluate()
                 self._log(eval_metrics, step=self.global_step)
+                synced = True
 
             if self.global_step % cfg.save_steps == 0:
                 self._save_checkpoint(suffix=f"step-{self.global_step}")
+                synced = True
+
+            if synced:
+                window_start = time.perf_counter()
+                window_steps = 0
 
             if getattr(self, "_preempted", False):
                 self._save_checkpoint(suffix=f"preempt-step-{self.global_step}")
