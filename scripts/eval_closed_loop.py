@@ -47,6 +47,9 @@ class ClosedLoopArgs:
     gym_state_key: str = "state"
     device: Optional[str] = None
     seed: int = 0
+    # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).
+    dp: int = 1
+    tp: int = 1
 
 
 class DummyEnv:
@@ -128,6 +131,15 @@ def build_envs(args: ClosedLoopArgs):
 
 def main(args: ClosedLoopArgs) -> None:
     if args.device:
+        import os
+
+        if args.dp * args.tp > 1 and args.device == "cpu":
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags
+                    + f" --xla_force_host_platform_device_count={args.dp * args.tp}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", args.device)
@@ -146,6 +158,16 @@ def main(args: ClosedLoopArgs) -> None:
                 action_dim=args.action_dim,
                 dropout=0.0,
             )
+        )
+
+    if args.dp * args.tp > 1:
+        # TP x DP serving (the 7B-on-v5e-8 configuration): the sharded
+        # runtime is forward-compatible with the action queue.
+        from vla_fastvlm_tpu.parallel import make_mesh
+        from vla_fastvlm_tpu.serving import ShardedPolicyRuntime
+
+        policy = ShardedPolicyRuntime(
+            policy, make_mesh(data=args.dp, model=args.tp)
         )
 
     envs = build_envs(args)

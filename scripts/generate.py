@@ -33,10 +33,22 @@ class GenerateArgs:
     dtype: str = "bfloat16"
     device: Optional[str] = None
     seed: int = 0
+    # Mesh factors for sharded generation (dp*tp devices; 1x1 = single chip).
+    dp: int = 1
+    tp: int = 1
 
 
 def main(args: GenerateArgs) -> None:
     if args.device:
+        import os
+
+        if args.dp * args.tp > 1 and args.device == "cpu":
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags
+                    + f" --xla_force_host_platform_device_count={args.dp * args.tp}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", args.device)
@@ -78,17 +90,27 @@ def main(args: GenerateArgs) -> None:
     )
 
     ids, mask = backbone._prep_text([args.prompt])
-    tokens = generate(
-        backbone.model,
-        backbone.params,
-        images if mcfg.num_image_tokens > 0 else None,
-        jnp.asarray(ids),
-        jnp.asarray(mask),
+    gen_kwargs = dict(
         max_new_tokens=args.max_new_tokens,
         eos_token_id=getattr(backbone.tokenizer, "eos_token_id", 2) or 2,
         temperature=args.temperature,
         rng=jax.random.PRNGKey(args.seed),
     )
+    gen_images = images if mcfg.num_image_tokens > 0 else None
+    if args.dp * args.tp > 1:
+        from vla_fastvlm_tpu.parallel import make_mesh
+        from vla_fastvlm_tpu.serving import sharded_generate
+
+        tokens = sharded_generate(
+            backbone.model, backbone.params, gen_images,
+            jnp.asarray(ids), jnp.asarray(mask),
+            make_mesh(data=args.dp, model=args.tp), **gen_kwargs,
+        )
+    else:
+        tokens = generate(
+            backbone.model, backbone.params, gen_images,
+            jnp.asarray(ids), jnp.asarray(mask), **gen_kwargs,
+        )
     text = backbone.tokenizer.decode(np.asarray(tokens[0]).tolist())
     print(text)
 

@@ -17,6 +17,25 @@ import eval_dataset as eval_script  # noqa: E402
 import train as train_script  # noqa: E402
 
 
+class TestShardedClosedLoop:
+    def test_eval_closed_loop_sharded_runs(self, capsys):
+        """--dp/--tp drive the ShardedPolicyRuntime end to end on the
+        virtual mesh (conftest supplies 8 CPU devices)."""
+        import json
+
+        import eval_closed_loop as ecl
+
+        args = ecl.ClosedLoopArgs(
+            model_id="fastvlm-tiny", state_dim=4, action_dim=4,
+            num_envs=8, max_steps=2, image_size=64, dp=4, tp=2,
+        )
+        ecl.main(args)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        summary = json.loads(out)
+        assert summary["total_actions"] == 16
+        assert summary["mean_length"] == 2.0
+
+
 class TestEvalSplitFallback:
     def make_args(self, **kw):
         defaults = dict(
