@@ -92,6 +92,9 @@ class FastVLMBackboneConfig:
     # on TPU where supported), "fused" (force; errors when unsupported),
     # "xla" (unfused composition).
     vision_block_impl: str = "auto"
+    # Concatenate q/k/v and gate/up kernels at apply time (one MXU matmul
+    # each; measured faster at serving shapes, see models/qwen2.py).
+    fused_projections: bool = True
     # jax.checkpoint the decoder blocks (memory for FLOPs; only matters when
     # the backbone itself trains).
     gradient_checkpointing: bool = False
@@ -151,6 +154,7 @@ class FastVLMBackbone:
             text=self.model_config.text.replace(
                 attention_impl=cfg.attention_impl,
                 remat=cfg.gradient_checkpointing,
+                fused_projections=cfg.fused_projections,
             ),
             vision=self.model_config.vision.replace(
                 block_impl=cfg.vision_block_impl,

@@ -50,6 +50,12 @@ class Qwen2Config:
     scan_layers: bool = True
     remat: bool = False
     attention_impl: str = "auto"  # "auto" | "xla" | "flash"
+    # Concatenate q/k/v and gate/up projection kernels at APPLY time and run
+    # one matmul each (measured on v5e: 5.8x / 3.3x faster than the three/two
+    # separate small-N dots at prefill shapes — see ROADMAP). The parameter
+    # tree is unchanged (kernels are concatenated inside the jitted fn), so
+    # checkpoints and the HF weight converter are unaffected.
+    fused_projections: bool = True
 
     @property
     def resolved_head_dim(self) -> int:
@@ -138,9 +144,26 @@ class Qwen2Attention(nn.Module):
                 param_dtype=cfg.param_dtype, name=name,
             )
 
-        q = dense(n * d, True, "q_proj")(x).reshape(b, t, n, d)
-        k = dense(k_heads * d, True, "k_proj")(x).reshape(b, t, k_heads, d)
-        v = dense(k_heads * d, True, "v_proj")(x).reshape(b, t, k_heads, d)
+        if self.is_initializing() or not cfg.fused_projections:
+            q = dense(n * d, True, "q_proj")(x)
+            k = dense(k_heads * d, True, "k_proj")(x)
+            v = dense(k_heads * d, True, "v_proj")(x)
+        else:
+            # One (H, (n+2k)*d) matmul instead of three small-N dots: the
+            # separate k/v projections (N=256 at 0.5B) underutilize the MXU.
+            p = self.variables["params"]
+            w_qkv = jnp.concatenate(
+                [p["q_proj"]["kernel"], p["k_proj"]["kernel"],
+                 p["v_proj"]["kernel"]], axis=-1,
+            ).astype(cfg.dtype)
+            b_qkv = jnp.concatenate(
+                [p["q_proj"]["bias"], p["k_proj"]["bias"], p["v_proj"]["bias"]]
+            ).astype(cfg.dtype)
+            qkv = x.astype(cfg.dtype) @ w_qkv + b_qkv
+            q, k, v = jnp.split(qkv, [n * d, (n + k_heads) * d], axis=-1)
+        q = q.reshape(b, t, n, d)
+        k = k.reshape(b, t, k_heads, d)
+        v = v.reshape(b, t, k_heads, d)
 
         q, k = apply_rope(q, k, cos, sin)
 
@@ -184,8 +207,16 @@ class Qwen2MLP(nn.Module):
                 param_dtype=cfg.param_dtype, name=name,
             )
 
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
+        if self.is_initializing() or not cfg.fused_projections:
+            gate = dense(cfg.intermediate_size, "gate_proj")(x)
+            up = dense(cfg.intermediate_size, "up_proj")(x)
+        else:
+            p = self.variables["params"]
+            w_gu = jnp.concatenate(
+                [p["gate_proj"]["kernel"], p["up_proj"]["kernel"]], axis=-1
+            ).astype(cfg.dtype)
+            gu = x.astype(cfg.dtype) @ w_gu
+            gate, up = jnp.split(gu, 2, axis=-1)
         return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
 
 
