@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Continuous-batching generation server demo/load CLI.
+
+Drives ``serving.GenerationServer`` (slot-based continuous batching with
+batched admission and donated in-place KV-cache updates) with a synthetic
+request stream: requests arrive over time, prefill in admission batches, and
+decode ticks run across all occupied slots. Reports admission latency,
+per-tick latency, and aggregate token throughput — the serving-shape numbers
+behind BASELINE.json config #5.
+
+Offline smoke: python scripts/serve.py --device cpu --model-id fastvlm-tiny \
+    --num-requests 6 --num-slots 3
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import _bootstrap  # noqa: F401
+
+from vla_fastvlm_tpu.utils import configure_logging
+from vla_fastvlm_tpu.utils.cli import parse_cli
+
+
+@dataclass
+class ServeArgs:
+    model_id: str = "fastvlm-0.5b"
+    num_slots: int = 8
+    prefill_batch: int = 4
+    prompt_len: int = 32
+    max_new_tokens: int = 32
+    num_requests: int = 16
+    # New requests admitted per decode tick (arrival rate of the synthetic
+    # stream); slots permitting.
+    arrivals_per_tick: int = 2
+    image_size: Optional[int] = None
+    dtype: str = "bfloat16"
+    device: Optional[str] = None
+    seed: int = 0
+
+
+def main(args: ServeArgs) -> None:
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    configure_logging()
+
+    import jax
+
+    from vla_fastvlm_tpu.model.fastvlm_adapter import (
+        FastVLMBackbone,
+        FastVLMBackboneConfig,
+    )
+    from vla_fastvlm_tpu.serving import GenerationServer
+
+    backbone = FastVLMBackbone(
+        FastVLMBackboneConfig(
+            model_id=args.model_id,
+            bootstrap_model_id=args.model_id,
+            force_image_size=args.image_size,
+            dtype=args.dtype,
+            param_dtype=args.dtype,
+            seed=args.seed,
+        )
+    )
+    size = backbone.model_config.image_size
+    server = GenerationServer(
+        backbone.model,
+        backbone.params,
+        num_slots=args.num_slots,
+        prompt_len=args.prompt_len,
+        max_new_tokens=args.max_new_tokens,
+        eos_token_id=-1,  # synthetic stream: run every request to max length
+        prefill_batch=args.prefill_batch,
+    )
+
+    rng = np.random.default_rng(args.seed)
+
+    def make_request():
+        length = int(rng.integers(4, args.prompt_len + 1))
+        ids = np.zeros((1, args.prompt_len), np.int32)
+        mask = np.zeros((1, args.prompt_len), np.int32)
+        ids[0, :length] = rng.integers(3, 250, length)
+        mask[0, :length] = 1
+        image = rng.random((1, 3, size, size), dtype=np.float32)
+        return ids, mask, image
+
+    submitted = 0
+    finished: dict = {}
+    tick_times = []
+    t_start = time.perf_counter()
+    while len(finished) < args.num_requests:
+        arrivals = 0
+        while (
+            submitted < args.num_requests
+            and server.has_free_slot()
+            and arrivals < args.arrivals_per_tick
+        ):
+            server.submit(*make_request())
+            submitted += 1
+            arrivals += 1
+        t0 = time.perf_counter()
+        finished.update(server.step())
+        tick_times.append(time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t_start
+
+    total_tokens = sum(len(t) for t in finished.values())
+    summary = {
+        "requests": args.num_requests,
+        "slots": args.num_slots,
+        "prefill_batch": args.prefill_batch,
+        "total_new_tokens": total_tokens,
+        "tokens_per_sec": round(total_tokens / elapsed, 2),
+        "p50_tick_ms": round(float(np.median(tick_times)) * 1e3, 2),
+        "ticks": len(tick_times),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main(parse_cli(ServeArgs, prog="serve.py"))

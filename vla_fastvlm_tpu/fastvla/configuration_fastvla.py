@@ -49,6 +49,7 @@ class FastVLAConfig:
     param_dtype: str = "float32"
     attention_impl: str = "auto"  # "auto" | "flash" | "xla"
     vision_block_impl: str = "auto"  # "auto" | "fused" | "xla"
+    fused_projections: bool = True  # one-matmul q/k/v and gate/up
     train_backbone: bool = False
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation memory when training the backbone.
@@ -78,6 +79,7 @@ class FastVLAConfig:
             param_dtype=self.param_dtype,
             attention_impl=self.attention_impl,
             vision_block_impl=self.vision_block_impl,
+            fused_projections=self.fused_projections,
             train_backbone=self.train_backbone,
             gradient_checkpointing=self.gradient_checkpointing,
             num_cameras=self.num_cameras,
