@@ -169,3 +169,104 @@ class TestLiveReference:
             theirs = torch_rwp(torch.from_numpy(img), size, size).numpy()
             ours = np.asarray(resize_with_pad(jnp.asarray(img), size, size))
             np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def _reference_prep(self, normalize=False, resize_with_padding=True,
+                        pad_value=0.0, size=56):
+        """The reference's _prepare_images_tensor bound to a stub self (no
+        model load): exercises _as_bchw -> _normalize_channels ->
+        _resize_image -> _maybe_normalize_imagenet (fastvlm_adapter.py:479-488)."""
+        import sys
+
+        sys.path.insert(0, "/root/reference/src")
+        try:
+            import torch
+
+            from vla_fastvlm.model.fastvlm_adapter import FastVLMBackbone
+        finally:
+            sys.path.remove("/root/reference/src")
+
+        from types import MethodType
+
+        stub = SimpleNamespace(
+            config=SimpleNamespace(
+                normalize_imagenet=normalize,
+                resize_with_padding=resize_with_padding,
+                pad_value=pad_value,
+            ),
+            expected_size=size,
+        )
+        for name in (
+            "_as_bchw", "_normalize_channels", "_resize_image",
+            "_maybe_normalize_imagenet", "_prepare_images_tensor",
+        ):
+            setattr(stub, name, MethodType(getattr(FastVLMBackbone, name), stub))
+
+        def run(images):
+            # reference nuance: 4D batches are accepted only as torch
+            # tensors (_as_bchw:423); numpy is supported per-image only.
+            # That is also what its processor actually feeds it.
+            if isinstance(images, np.ndarray) and images.ndim == 4:
+                images = torch.from_numpy(images)
+            return stub._prepare_images_tensor(images, torch.device("cpu")).numpy()
+
+        return run
+
+    def _ours_prep(self, normalize=False, resize_with_padding=True,
+                   pad_value=0.0, size=56):
+        from vla_fastvlm_tpu.model.fastvlm_adapter import FastVLMBackbone
+        from vla_fastvlm_tpu.ops.image import prepare_image_batch
+
+        def run(images):
+            bchw = FastVLMBackbone._as_bchw(None, images)
+            return np.asarray(
+                prepare_image_batch(
+                    jnp.asarray(bchw), size=size,
+                    resize_with_padding=resize_with_padding,
+                    pad_value=pad_value, normalize=normalize,
+                )
+            )
+
+        return run
+
+    @pytest.mark.parametrize(
+        "case",
+        [
+            "bchw_batch", "bhwc_batch", "hwc_single", "chw_single",
+            "gray_batch", "four_channel", "list_mixed",
+        ],
+    )
+    def test_image_pipeline_live(self, case):
+        """Full image prep (layout normalization + channel fix + letterbox)
+        matches the reference pipeline for every input format it accepts."""
+        rng = np.random.default_rng(11)
+        images = {
+            "bchw_batch": rng.random((2, 3, 48, 64), dtype=np.float32),
+            "bhwc_batch": rng.random((2, 40, 30, 3), dtype=np.float32),
+            "hwc_single": rng.random((40, 64, 3), dtype=np.float32),
+            "chw_single": rng.random((3, 64, 40), dtype=np.float32),
+            "gray_batch": rng.random((2, 1, 48, 48), dtype=np.float32),
+            "four_channel": rng.random((1, 4, 48, 64), dtype=np.float32),
+            "list_mixed": [
+                rng.random((3, 48, 64), dtype=np.float32),
+                rng.random((3, 48, 64), dtype=np.float32),
+            ],
+        }[case]
+        theirs = self._reference_prep()(images)
+        ours = self._ours_prep()(images)
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, err_msg=case)
+
+    @pytest.mark.parametrize("normalize,letterbox", [
+        (True, True), (True, False), (False, False),
+    ])
+    def test_image_pipeline_modes_live(self, normalize, letterbox):
+        rng = np.random.default_rng(12)
+        images = rng.random((2, 3, 48, 64), dtype=np.float32)  # [0,1] floats
+        theirs = self._reference_prep(
+            normalize=normalize, resize_with_padding=letterbox
+        )(images)
+        ours = self._ours_prep(
+            normalize=normalize, resize_with_padding=letterbox
+        )(images)
+        # torchvision normalize computes (x - mean) * (1/std); ours divides —
+        # identical math, last-ulp f32 differences.
+        np.testing.assert_allclose(ours, theirs, atol=5e-5)
