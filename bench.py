@@ -275,6 +275,24 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     trainable = model.trainable_params()
     frozen = {"backbone": model.backbone.params}
+
+    n_chips = args.dp * args.tp
+    if n_chips > 1:
+        from vla_fastvlm_tpu.parallel import make_mesh, shard_batch, shard_params
+
+        mesh = make_mesh(data=args.dp, model=args.tp)
+        trainable = shard_params(mesh, trainable)
+        frozen = shard_params(mesh, frozen)
+        sharded = shard_batch(
+            mesh,
+            {"images": images, "ids": ids, "mask": mask, "states": states,
+             "actions": actions},
+        )
+        images, ids, mask, states, actions = (
+            sharded["images"], sharded["ids"], sharded["mask"],
+            sharded["states"], sharded["actions"],
+        )
+        print(f"[bench] train mesh dp={args.dp} tp={args.tp}", file=sys.stderr)
     opt_state = tx.init(trainable)
 
     # frozen backbone params go in as an ARGUMENT, never a closure capture —
@@ -310,7 +328,7 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
         latencies.append(time.perf_counter() - t0)
     elapsed = sum(latencies)
     p50 = sorted(latencies)[len(latencies) // 2]
-    samples_per_sec = args.iters * b / elapsed
+    samples_per_sec = args.iters * b / elapsed / n_chips
     print(
         f"[bench] train {args.iters} iters x batch {b} in {elapsed:.3f}s "
         f"(p50 {p50 * 1e3:.1f} ms/step)",
@@ -321,7 +339,9 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
             {
                 "metric": (
                     f"fastvla {args.model_id} train step throughput "
-                    f"(batch {b}, {args.image_size}px)"
+                    f"(batch {b}, {args.image_size}px"
+                    + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
+                    + ")"
                 ),
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/sec/chip",

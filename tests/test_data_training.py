@@ -204,6 +204,31 @@ class TestTrainer:
         trainer = Trainer(policy, loader, None, cfg)
         assert trainer.config.mixed_precision == "no"
 
+    def test_trainer_fit_on_mesh(self, tmp_path):
+        """Trainer(mesh=...) end to end on the virtual 8-device mesh: fit,
+        eval, checkpoint — the full DP x TP training loop, not just the step
+        fn (which test_parallel covers)."""
+        from vla_fastvlm_tpu.parallel import make_mesh
+
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        ds = make_dataset(16)
+        loader = create_aloha_dataloader(ds, batch_size=8, shuffle=True, num_workers=0)
+        eval_loader = create_aloha_dataloader(ds, batch_size=8, shuffle=False, num_workers=0)
+        cfg = TrainingConfig(
+            output_dir=str(tmp_path), num_epochs=3, learning_rate=1e-2,
+            save_steps=6, report_to=[], mixed_precision=None,
+        )
+        trainer = Trainer(policy, loader, eval_loader, cfg, mesh=make_mesh(data=4, model=2))
+        first = trainer.evaluate()["eval/mse"]
+        trainer.fit()
+        final = trainer.evaluate()["eval/mse"]
+        assert final < first
+        ckpts = list((tmp_path / "checkpoints").glob("step-*"))
+        assert ckpts
+        from vla_fastvlm_tpu.utils import load_policy_from_checkpoint
+
+        load_policy_from_checkpoint(ckpts[-1])
+
     def test_keep_last_n_prunes_old_checkpoints(self, tmp_path):
         """save_steps=1 over 6 steps with keep_last_n=2 leaves exactly the
         two newest step-* dirs (async writes joined at end of training)."""
