@@ -168,6 +168,20 @@ class TestShardedServing:
                 ["t"] * 6,
             )
 
+    def test_sharded_select_action_matches_policy(self):
+        from vla_fastvlm_tpu.serving import ShardedPolicyRuntime
+
+        policy = FastVLAPolicy(FastVLAConfig(**TINY))
+        runtime = ShardedPolicyRuntime(
+            policy, make_mesh(data=1, model=2, devices=jax.devices()[:2])
+        )
+        rng = np.random.default_rng(5)
+        image = rng.random((3, 32, 32), dtype=np.float32)
+        state = rng.standard_normal(4).astype(np.float32)
+        ref = np.asarray(policy.select_action(image, state, "go"))
+        out = np.asarray(runtime.select_action(image, state, "go"))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
     def test_sharded_generate_matches_unsharded(self):
         from vla_fastvlm_tpu.models import FastVLM, fastvlm_tiny
         from vla_fastvlm_tpu.serving import generate, sharded_generate
@@ -194,3 +208,15 @@ class TestShardedServing:
             )
         )
         np.testing.assert_array_equal(out, ref)
+
+        # pre-placed params path (reused across calls in a server)
+        from vla_fastvlm_tpu.parallel import shard_params
+
+        placed = shard_params(mesh, params)
+        out2 = np.asarray(
+            sharded_generate(
+                model, placed, images, input_ids, mask, mesh,
+                max_new_tokens=6, params_are_placed=True,
+            )
+        )
+        np.testing.assert_array_equal(out2, ref)
