@@ -120,6 +120,26 @@ class TestModelDispatch:
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
         )
 
+    def test_auto_keeps_xla_while_unprofitable(self):
+        """block_impl='auto' must NOT dispatch to the kernel while the
+        measured-unprofitable gate (AUTO_PROFITABLE=False) holds, even on a
+        TPU backend with a supported shape."""
+        from vla_fastvlm_tpu.models.fastvit import FastViTHDConfig, RepMixerBlock
+        from vla_fastvlm_tpu.ops.pallas import repmixer
+
+        block = RepMixerBlock(FastViTHDConfig(block_impl="auto"), 4.0)
+        x = jnp.zeros((16, 128, 128, 192), jnp.float32)
+        assert repmixer.supports_fused_repmixer(tuple(x.shape), 768, backend="tpu")
+        orig = jax.default_backend
+        try:
+            jax.default_backend = lambda: "tpu"
+            assert not block._use_fused(x, 768)
+            repmixer.AUTO_PROFITABLE = True
+            assert block._use_fused(x, 768)
+        finally:
+            jax.default_backend = orig
+            repmixer.AUTO_PROFITABLE = False
+
     def test_forced_fused_rejects_bad_shape(self):
         from vla_fastvlm_tpu.models.fastvit import FastViTHDConfig, RepMixerBlock
 
