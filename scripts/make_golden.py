@@ -153,6 +153,47 @@ def make_lr_schedule():
     np.savez_compressed(GOLDEN_DIR / "lr_schedule.npz", **blobs)
 
 
+def make_optimizer(torch):
+    """Three steps of the reference's training update — clip_grad_norm_(1.0)
+    + torch.optim.AdamW (``trainer.py:60-66,177-182``) — on fixed params and
+    gradients. Pins the optax chain's numerics (bias correction, eps
+    placement, decoupled weight decay, clip composition)."""
+    rng = np.random.default_rng(4)
+    shapes = {"w": (8, 6), "b": (6,)}
+    params0 = {k: rng.standard_normal(s).astype(np.float32) for k, s in shapes.items()}
+    grads = [
+        {k: (rng.standard_normal(s) * scale).astype(np.float32)
+         for k, s in shapes.items()}
+        for scale in (0.5, 3.0, 0.01)  # step 2 exceeds the clip norm
+    ]
+
+    tensors = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+               for k, v in params0.items()}
+    opt = torch.optim.AdamW(
+        tensors.values(), lr=1e-3, betas=(0.9, 0.95), eps=1e-8,
+        weight_decay=0.01,
+    )
+    trajectory = []
+    with torch.enable_grad():
+        for g in grads:
+            opt.zero_grad()
+            for k, t in tensors.items():
+                t.grad = torch.from_numpy(g[k].copy())
+            torch.nn.utils.clip_grad_norm_(tensors.values(), 1.0)
+            opt.step()
+            trajectory.append({k: t.detach().numpy().copy() for k, t in tensors.items()})
+
+    blobs = {f"p0__{k}": v for k, v in params0.items()}
+    for i, g in enumerate(grads):
+        for k, v in g.items():
+            blobs[f"g{i}__{k}"] = v
+    for i, step in enumerate(trajectory):
+        for k, v in step.items():
+            blobs[f"s{i}__{k}"] = v
+    blobs["n_steps"] = np.array(len(grads))
+    np.savez_compressed(GOLDEN_DIR / "optimizer.npz", **blobs)
+
+
 def make_tasks():
     from vla_fastvlm.model.policy import FastVLMPolicy
 
@@ -184,6 +225,7 @@ def main() -> None:
     make_pool_hidden(torch)
     make_head(torch)
     make_lr_schedule()
+    make_optimizer(torch)
     make_tasks()
     print(f"golden fixtures written to {GOLDEN_DIR}")
     for f in sorted(GOLDEN_DIR.iterdir()):

@@ -129,6 +129,32 @@ class TestLrScheduleGolden:
             )
 
 
+class TestOptimizerGolden:
+    def test_optax_chain_matches_torch_adamw(self):
+        """Three update steps of optax clip_by_global_norm(1.0) + adamw match
+        the reference's clip_grad_norm_ + torch.optim.AdamW trajectory
+        (reference trainer.py:60-66,177-182), including a step whose global
+        grad norm exceeds the clip threshold."""
+        import optax
+
+        data = _load("optimizer.npz")
+        params = {k: jnp.asarray(data[f"p0__{k}"]) for k in ("w", "b")}
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(1e-3, b1=0.9, b2=0.95, eps=1e-8, weight_decay=0.01),
+        )
+        state = tx.init(params)
+        for i in range(int(data["n_steps"])):
+            grads = {k: jnp.asarray(data[f"g{i}__{k}"]) for k in ("w", "b")}
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            for k in ("w", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(params[k]), data[f"s{i}__{k}"],
+                    atol=1e-6, err_msg=f"step {i} param {k}",
+                )
+
+
 class TestTaskNormalizationGolden:
     def test_normalize_tasks_matches_reference(self):
         from vla_fastvlm_tpu.fastvla.processor_fastvla import FastVLAProcessor
