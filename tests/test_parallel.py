@@ -155,6 +155,32 @@ class TestShardedServing:
         )
         np.testing.assert_allclose(np.asarray(action), ref, atol=2e-5)
 
+    def test_sharded_multicam_chunked_policy(self):
+        """Multi-camera observations + action chunking through the sharded
+        runtime: (B, ncam, C, H, W) batches shard over data, the chunk head
+        emits (B, chunk, A), and the action queue consumes it unchanged."""
+        from vla_fastvlm_tpu.serving import ActionQueuePolicy, ShardedPolicyRuntime
+
+        cfg = FastVLAConfig(**{**TINY, "num_cameras": 2, "chunk_size": 2})
+        policy = FastVLAPolicy(cfg)
+        runtime = ShardedPolicyRuntime(policy, make_mesh(data=4, model=2))
+        rng = np.random.default_rng(9)
+        images = rng.random((8, 2, 3, 32, 32), dtype=np.float32)
+        states = rng.standard_normal((8, 4)).astype(np.float32)
+        tasks = ["stack"] * 8
+
+        ref = np.asarray(policy.forward(images, states, tasks))
+        out = np.asarray(runtime.forward(images, states, tasks))
+        assert out.shape == (8, 2, 4)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+        queue = ActionQueuePolicy(runtime, n_action_steps=2)
+        batch = {"images": images, "states": states, "tasks": tasks}
+        a0 = queue.select_action(batch)
+        a1 = queue.select_action(batch)
+        np.testing.assert_allclose(np.asarray(a0), ref[:, 0], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a1), ref[:, 1], atol=2e-5)
+
     def test_batch_not_divisible_by_dp_raises(self):
         from vla_fastvlm_tpu.serving import ShardedPolicyRuntime
 
