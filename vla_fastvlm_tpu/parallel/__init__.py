@@ -7,6 +7,7 @@ from .mesh import (
     make_mesh,
     single_device_mesh,
 )
+from .pipeline import PIPE_AXIS, make_pipe_mesh, pipeline_forward
 from .sharding import (
     batch_shardings,
     batch_spec,
@@ -21,6 +22,9 @@ from .sharding import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
+    "make_pipe_mesh",
+    "pipeline_forward",
     "batch_shardings",
     "batch_spec",
     "cache_shardings",
