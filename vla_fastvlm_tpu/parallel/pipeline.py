@@ -28,10 +28,17 @@ from functools import partial
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+def _shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map across API generations (check_vma vs check_rep)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    from jax.experimental.shard_map import shard_map as legacy
+
+    return legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.qwen2 import Qwen2Block, Qwen2Config, Qwen2Model
@@ -143,12 +150,11 @@ def pipeline_forward(
     layer_specs = jax.tree_util.tree_map(
         lambda _: P(PIPE_AXIS), params["layers"]
     )
-    pipelined = shard_map(
+    pipelined = _shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(layer_specs, P(), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
     )
     layers_placed = jax.device_put(
         params["layers"],
