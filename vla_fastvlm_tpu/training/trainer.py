@@ -89,6 +89,10 @@ class TrainingConfig:
     # host (device_get); serialization + disk IO run on a background thread
     # (joined before the next save / at end of training).
     async_save: bool = True
+    # Keep N batches prepared AND placed on device ahead of the step loop
+    # (host prep + host->device transfer overlap compute; the reference
+    # transfers synchronously per step, ``trainer.py:172``). 1 = eager.
+    prefetch_batches: int = 2
     # Keep only the newest N step-* checkpoint dirs (None/0 = keep all).
     # Preemption/final checkpoints are never pruned.
     keep_last_n: Optional[int] = 5
@@ -342,10 +346,15 @@ class Trainer:
         # time over the window.
         window_start = time.perf_counter()
         window_steps = 0
-        for batch in self.train_dataloader:
+        from ..data.prefetch import device_prefetch
+
+        stream = device_prefetch(
+            self.train_dataloader,
+            size=max(1, cfg.prefetch_batches),
+            placer=lambda b: self._place_batch(self.model.prepare_batch(b)),
+        )
+        for arrays in stream:
             self._maybe_profile()
-            arrays = self.model.prepare_batch(batch)
-            arrays = self._place_batch(arrays)
             self._rng, step_rng = jax.random.split(self._rng)
             self.trainable, self.opt_state, metrics = self._train_step(
                 self.trainable, self.opt_state, self.frozen, arrays, step_rng
@@ -396,7 +405,12 @@ class Trainer:
 
     def _place_batch(self, arrays: Dict) -> Dict:
         if self.mesh is None:
-            return arrays
+            # Explicit async device_put so prefetched batches transfer while
+            # the previous step computes (instead of implicitly at step call).
+            return {
+                key: jax.device_put(value) if hasattr(value, "shape") else value
+                for key, value in arrays.items()
+            }
         from ..parallel import shard_batch
 
         return shard_batch(self.mesh, arrays)
