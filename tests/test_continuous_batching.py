@@ -137,6 +137,31 @@ class TestGenerationServer:
                 got, ref[: len(got)], err_msg=f"request {req}"
             )
 
+    def test_tp_sharded_server_matches_offline(self, vlm):
+        """GenerationServer on a TP mesh (params + kv-head-sharded cache)
+        produces the same tokens as single-device offline generation."""
+        import jax as _jax
+
+        from vla_fastvlm_tpu.parallel import make_mesh
+
+        cfg, model, params = vlm
+        mesh = make_mesh(data=1, model=2, devices=_jax.devices()[:2])
+        rng = np.random.default_rng(21)
+        server = GenerationServer(
+            model, params, num_slots=2, prompt_len=PROMPT_LEN,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS, prefill_batch=2,
+            mesh=mesh,
+        )
+        prompts = [make_prompt(rng, n) for n in (5, 7)]
+        images = [np.asarray(rng.random((1, 3, 64, 64), dtype=np.float32))
+                  for _ in prompts]
+        rids = [server.submit(*p, img) for p, img in zip(prompts, images)]
+        outputs = server.run_to_completion()
+        for rid, (ids, mask), img in zip(rids, prompts, images):
+            ref = offline(model, params, jnp.asarray(img), ids, mask)
+            got = np.asarray(outputs[rid])
+            np.testing.assert_array_equal(got, ref[: len(got)])
+
     def test_slot_exhaustion_raises(self, vlm):
         cfg, model, params = vlm
         rng = np.random.default_rng(2)

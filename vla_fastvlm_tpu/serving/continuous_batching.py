@@ -64,8 +64,18 @@ class GenerationServer:
         max_new_tokens: int = 32,
         eos_token_id: int = 2,
         prefill_batch: int = 4,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional TP mesh — parameters and the KV cache (kv heads
+        over ``model``) are placed on it and GSPMD shards every program; use
+        ``make_mesh(data=1, model=N)`` (sharding the slot axis over ``data``
+        would route every slot insert through cross-chip collectives)."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(mesh, params)
         self.params = params
         self.num_slots = num_slots
         self.prompt_len = prompt_len
@@ -77,6 +87,10 @@ class GenerationServer:
         self._cache_len = cfg.num_image_tokens + prompt_len + max_new_tokens
         # +1 trash slot: dummy admission rows land there (never decoded).
         self.cache = init_kv_cache(cfg.text, num_slots + 1, self._cache_len)
+        if mesh is not None:
+            from ..parallel.sharding import shard_cache
+
+            self.cache = shard_cache(mesh, self.cache)
         self._slots = [_Slot() for _ in range(num_slots)]
         self._pending: List[_Pending] = []
         self._next_rid = 0
