@@ -43,10 +43,20 @@ class ServeArgs:
     dtype: str = "bfloat16"
     device: Optional[str] = None
     seed: int = 0
+    # Tensor-parallel mesh size (1 = single chip); shards params + KV cache.
+    tp: int = 1
 
 
 def main(args: ServeArgs) -> None:
     if args.device:
+        import os
+
+        if args.tp > 1 and args.device == "cpu":
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.tp}"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", args.device)
@@ -71,6 +81,11 @@ def main(args: ServeArgs) -> None:
         )
     )
     size = backbone.model_config.image_size
+    mesh = None
+    if args.tp > 1:
+        from vla_fastvlm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
     server = GenerationServer(
         backbone.model,
         backbone.params,
@@ -79,6 +94,7 @@ def main(args: ServeArgs) -> None:
         max_new_tokens=args.max_new_tokens,
         eos_token_id=-1,  # synthetic stream: run every request to max length
         prefill_batch=args.prefill_batch,
+        mesh=mesh,
     )
 
     rng = np.random.default_rng(args.seed)
