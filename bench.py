@@ -52,6 +52,9 @@ class BenchArgs:
     # "generate": KV-cached VLM decoding, tokens/sec/chip.
     mode: str = "serve"
     attention_impl: str = "auto"
+    # "int8": weight-only quantized decoder kernels (halves decode weight-HBM
+    # traffic — the small-batch generate bottleneck).
+    quantization: str = "none"
     max_new_tokens: int = 64
     # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).
     # TP shards the Qwen2 decoder Megatron-style, DP splits the batch — the
@@ -89,6 +92,7 @@ def main(args: BenchArgs) -> None:
         dtype=args.dtype,
         param_dtype=args.dtype,
         attention_impl=args.attention_impl,
+        quantization=args.quantization,
         dropout=0.0,
     )
     print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)

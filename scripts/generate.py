@@ -36,6 +36,8 @@ class GenerateArgs:
     # Mesh factors for sharded generation (dp*tp devices; 1x1 = single chip).
     dp: int = 1
     tp: int = 1
+    # "int8": weight-only quantized decoder kernels (io/quantize.py).
+    quantization: str = "none"
 
 
 def main(args: GenerateArgs) -> None:
@@ -72,6 +74,7 @@ def main(args: GenerateArgs) -> None:
             tokenizer_max_length=args.tokenizer_max_length,
             dtype=args.dtype,
             param_dtype=args.dtype,
+            quantization=args.quantization,
             seed=args.seed,
         )
     )

@@ -45,6 +45,8 @@ class ServeArgs:
     seed: int = 0
     # Tensor-parallel mesh size (1 = single chip); shards params + KV cache.
     tp: int = 1
+    # "int8": weight-only quantized decoder kernels (io/quantize.py).
+    quantization: str = "none"
 
 
 def main(args: ServeArgs) -> None:
@@ -77,6 +79,7 @@ def main(args: ServeArgs) -> None:
             force_image_size=args.image_size,
             dtype=args.dtype,
             param_dtype=args.dtype,
+            quantization=args.quantization,
             seed=args.seed,
         )
     )

@@ -1,0 +1,294 @@
+"""Weight-only int8 serving mode (ops/quant.py, io/quantize.py).
+
+The reference has no quantized path (its serving loop is eager torch,
+reference ``lerobot_fastvla/modeling_fastvla.py:113-125``); this TPU-native
+extension is flag-gated (``Qwen2Config.quantization``) and these tests pin:
+quantization error bounds, logit agreement vs the float model, fused/unfused
+path equivalence, KV-cached decode, the full-FastVLM tree transform, and TP
+sharding of the scale leaves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vla_fastvlm_tpu.io.quantize import (
+    DEFAULT_QUANT_NAMES,
+    count_quantized,
+    quantize_params,
+)
+from vla_fastvlm_tpu.models import FastVLM, fastvlm_tiny, init_kv_cache
+from vla_fastvlm_tpu.models.qwen2 import Qwen2ForCausalLM, qwen2_tiny
+from vla_fastvlm_tpu.ops.quant import (
+    dense_apply,
+    fused_dense_apply,
+    quantize_kernel,
+)
+
+
+class TestQuantizeKernel:
+    def test_roundtrip_error_bound(self, rng):
+        w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+        q = quantize_kernel(w)
+        assert q["kernel"].dtype == jnp.int8
+        assert q["scale"].shape == (1, 48)
+        deq = q["kernel"].astype(jnp.float32) * q["scale"]
+        # Symmetric absmax: per-column error <= scale/2 = absmax/254.
+        col_absmax = np.max(np.abs(np.asarray(w)), axis=0)
+        err = np.max(np.abs(np.asarray(deq - w)), axis=0)
+        assert np.all(err <= col_absmax / 254.0 + 1e-7)
+
+    def test_scan_stacked_kernel_scales_per_layer(self, rng):
+        w = jnp.asarray(rng.normal(size=(3, 16, 8)), jnp.float32)
+        q = quantize_kernel(w)
+        assert q["scale"].shape == (3, 1, 8)
+
+    def test_zero_column_is_safe(self):
+        w = jnp.zeros((4, 4), jnp.float32)
+        q = quantize_kernel(w)
+        deq = q["kernel"].astype(jnp.float32) * q["scale"]
+        assert np.all(np.asarray(deq) == 0)
+
+    def test_dense_apply_matches_manual(self, rng):
+        w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+        leaf = dict(quantize_kernel(w))
+        leaf["bias"] = b
+        y = dense_apply(x, leaf, jnp.float32)
+        deq = leaf["kernel"].astype(jnp.float32) * leaf["scale"]
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ deq + b), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fused_apply_matches_separate(self, rng):
+        w1 = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+        l1, l2 = quantize_kernel(w1), quantize_kernel(w2)
+        fused = fused_dense_apply(x, [l1, l2], jnp.float32)
+        sep = jnp.concatenate(
+            [dense_apply(x, l1, jnp.float32), dense_apply(x, l2, jnp.float32)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(sep), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fused_apply_rejects_mixed_groups(self, rng):
+        w1 = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+        ql = quantize_kernel(w1)
+        with pytest.raises(ValueError, match="mixes quantized and float"):
+            fused_dense_apply(
+                jnp.ones((2, 8)), [ql, {"kernel": w1}], jnp.float32
+            )
+
+
+class TestQuantizedQwen2:
+    @pytest.fixture(scope="class")
+    def lm(self):
+        cfg = qwen2_tiny()
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.ones((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        return cfg, model, params
+
+    def _logits(self, cfg, params, ids):
+        model = Qwen2ForCausalLM(cfg)
+        logits, _, _ = model.apply({"params": params}, ids)
+        return np.asarray(logits)
+
+    def test_tree_transform_counts(self, lm):
+        cfg, model, params = lm
+        qparams = quantize_params(params)
+        # Scanned tree: q/k/v/o/gate/up/down = 7 stacked kernels (tied
+        # embeddings: no lm_head in the tiny config).
+        assert count_quantized(qparams) == 7
+        # Float tree untouched.
+        assert count_quantized(params) == 0
+        # Biases preserved.
+        attn = qparams["model"]["layers"]["self_attn"]
+        assert attn["q_proj"]["bias"].dtype == params["model"]["layers"][
+            "self_attn"
+        ]["q_proj"]["bias"].dtype
+        assert attn["q_proj"]["kernel"].dtype == jnp.int8
+        # (L, 1, N) per-layer scales on scan-stacked kernels.
+        assert attn["q_proj"]["scale"].ndim == 3
+
+    def test_quantized_logits_close_to_float(self, lm, rng):
+        cfg, model, params = lm
+        ids = jnp.asarray(rng.integers(3, 500, (2, 12)), jnp.int32)
+        ref = self._logits(cfg, params, ids)
+        qcfg = cfg.replace(quantization="int8")
+        got = self._logits(qcfg, quantize_params(params), ids)
+        # Weight-only int8 per-channel: small relative logit error.
+        scale = np.abs(ref).max()
+        assert np.max(np.abs(got - ref)) < 0.05 * scale
+        # Greedy next-token agreement on the last position.
+        np.testing.assert_array_equal(
+            ref[:, -1].argmax(-1), got[:, -1].argmax(-1)
+        )
+
+    def test_fused_and_unfused_quantized_paths_agree(self, lm, rng):
+        cfg, model, params = lm
+        ids = jnp.asarray(rng.integers(3, 500, (2, 6)), jnp.int32)
+        qparams = quantize_params(params)
+        a = self._logits(cfg.replace(quantization="int8"), qparams, ids)
+        b = self._logits(
+            cfg.replace(quantization="int8", fused_projections=False),
+            qparams,
+            ids,
+        )
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    def test_unscanned_quantized_path(self, rng):
+        cfg = qwen2_tiny(scan_layers=False)
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.asarray(rng.integers(3, 500, (1, 5)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(1), ids)["params"]
+        ref, _, _ = model.apply({"params": params}, ids)
+        qmodel = Qwen2ForCausalLM(cfg.replace(quantization="int8"))
+        got, _, _ = qmodel.apply({"params": quantize_params(params)}, ids)
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(got - ref).max()) < 0.05 * scale
+
+    def test_untied_lm_head_quantizes(self, rng):
+        cfg = qwen2_tiny(tie_word_embeddings=False)
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.asarray(rng.integers(3, 500, (1, 5)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(2), ids)["params"]
+        qparams = quantize_params(params)
+        assert qparams["lm_head"]["kernel"].dtype == jnp.int8
+        ref, _, _ = model.apply({"params": params}, ids)
+        got, _, _ = Qwen2ForCausalLM(cfg.replace(quantization="int8")).apply(
+            {"params": qparams}, ids
+        )
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(got - ref).max()) < 0.05 * scale
+
+
+class TestQuantizedFastVLM:
+    @pytest.fixture(scope="class")
+    def vlm(self):
+        cfg = fastvlm_tiny()
+        model = FastVLM(cfg)
+        ids = jnp.ones((1, 8), jnp.int32)
+        imgs = jnp.zeros((1, 3, 64, 64))
+        params = model.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+        return cfg, model, params
+
+    def test_quantized_prefill_decode(self, vlm, rng):
+        """KV-cached generation runs and tracks the float model closely."""
+        cfg, model, params = vlm
+        b, t = 2, 6
+        ids = jnp.asarray(rng.integers(3, 100, (b, t)), jnp.int32)
+        mask = jnp.ones((b, t), jnp.int32)
+        imgs = jnp.asarray(rng.random((b, 3, 64, 64), dtype=np.float32))
+
+        qcfg = cfg.replace(text=cfg.text.replace(quantization="int8"))
+        qparams = quantize_params(params)
+        assert count_quantized(qparams) == 7
+
+        def run(m, c, p):
+            cache = init_kv_cache(c.text, b, c.num_image_tokens + t + 2)
+            last, _, cache, _, _ = m.apply(
+                {"params": p}, imgs, ids, mask, cache, method=FastVLM.prefill
+            )
+            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            step, _ = m.apply(
+                {"params": p}, nxt[:, None], cache, method=FastVLM.decode_step
+            )
+            return np.asarray(last), np.asarray(step)
+
+        ref_last, ref_step = run(model, cfg, params)
+        got_last, got_step = run(FastVLM(qcfg), qcfg, qparams)
+        scale = np.abs(ref_last).max()
+        assert np.max(np.abs(got_last - ref_last)) < 0.05 * scale
+        np.testing.assert_array_equal(
+            ref_last.argmax(-1), got_last.argmax(-1)
+        )
+
+
+class TestQuantizedPolicy:
+    def test_policy_select_action_quantized(self):
+        """The full FastVLA policy stack runs with quantization='int8'."""
+        from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLAPolicy
+
+        cfg = FastVLAConfig(
+            vlm_model_name="fastvlm-tiny",
+            bootstrap_model_name="fastvlm-tiny",
+            state_dim=4,
+            action_dim=4,
+            quantization="int8",
+            dropout=0.0,
+        )
+        policy = FastVLAPolicy(cfg)
+        from vla_fastvlm_tpu.io.quantize import count_quantized
+
+        assert count_quantized(policy.model.backbone.params) == 7
+        image = np.zeros((1, 3, 64, 64), np.float32)
+        state = np.zeros((1, 4), np.float32)
+        action = policy.select_action(image, state, "pick")
+        assert np.asarray(action).shape == (4,)
+        assert np.all(np.isfinite(np.asarray(action)))
+
+    def test_train_backbone_quantized_rejected(self):
+        from vla_fastvlm_tpu.model.fastvlm_adapter import (
+            FastVLMBackbone,
+            FastVLMBackboneConfig,
+        )
+
+        with pytest.raises(ValueError, match="inference-only"):
+            FastVLMBackbone(
+                FastVLMBackboneConfig(
+                    model_id="fastvlm-tiny",
+                    bootstrap_model_id="fastvlm-tiny",
+                    quantization="int8",
+                    train_backbone=True,
+                )
+            )
+
+
+class TestQuantizedSharding:
+    def test_scale_shardings_follow_kernel_split(self):
+        from vla_fastvlm_tpu.parallel.mesh import make_mesh
+        from vla_fastvlm_tpu.parallel.sharding import param_shardings
+
+        cfg = qwen2_tiny()
+        model = Qwen2ForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))[
+            "params"
+        ]
+        qparams = quantize_params(params)
+        mesh = make_mesh(data=4, model=2)
+        sh = param_shardings(mesh, qparams)
+        attn = sh["model"]["layers"]["self_attn"]
+        # Column-split projections: scale sharded on model (last axis).
+        assert attn["q_proj"]["scale"].spec[-1] == "model"
+        # Row-split o_proj: per-output scale replicated.
+        assert all(axis is None for axis in attn["o_proj"]["scale"].spec)
+
+    def test_sharded_quantized_forward(self, rng):
+        """Quantized 2-way TP forward == single-device quantized forward."""
+        from vla_fastvlm_tpu.parallel.mesh import make_mesh
+        from vla_fastvlm_tpu.parallel.sharding import shard_params
+
+        cfg = qwen2_tiny(quantization="int8")
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.asarray(rng.integers(3, 500, (2, 6)), jnp.int32)
+        fparams = Qwen2ForCausalLM(qwen2_tiny()).init(
+            jax.random.PRNGKey(0), ids
+        )["params"]
+        qparams = quantize_params(fparams)
+        ref, _, _ = model.apply({"params": qparams}, ids)
+
+        mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+        sharded = shard_params(mesh, qparams)
+        with mesh:
+            got, _, _ = jax.jit(
+                lambda p, i: model.apply({"params": p}, i)
+            )(sharded, ids)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-4
+        )

@@ -50,6 +50,9 @@ class FastVLAConfig:
     attention_impl: str = "auto"  # "auto" | "flash" | "xla"
     vision_block_impl: str = "auto"  # "auto" | "fused" | "xla"
     fused_projections: bool = True  # one-matmul q/k/v and gate/up
+    # Weight-only int8 decoder kernels for serving ("none" | "int8"):
+    # halves decode weight-HBM traffic (ops/quant.py). Inference-only.
+    quantization: str = "none"
     train_backbone: bool = False
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation memory when training the backbone.
@@ -80,6 +83,7 @@ class FastVLAConfig:
             attention_impl=self.attention_impl,
             vision_block_impl=self.vision_block_impl,
             fused_projections=self.fused_projections,
+            quantization=self.quantization,
             train_backbone=self.train_backbone,
             gradient_checkpointing=self.gradient_checkpointing,
             num_cameras=self.num_cameras,

@@ -95,6 +95,10 @@ class FastVLMBackboneConfig:
     # Concatenate q/k/v and gate/up kernels at apply time (one MXU matmul
     # each; measured faster at serving shapes, see models/qwen2.py).
     fused_projections: bool = True
+    # Weight-only int8 decoder kernels ("none" | "int8"): params are
+    # quantized after load (io/quantize.py), halving decode weight-HBM
+    # traffic. Inference-only — incompatible with train_backbone.
+    quantization: str = "none"
     # jax.checkpoint the decoder blocks (memory for FLOPs; only matters when
     # the backbone itself trains).
     gradient_checkpointing: bool = False
@@ -155,6 +159,7 @@ class FastVLMBackbone:
                 attention_impl=cfg.attention_impl,
                 remat=cfg.gradient_checkpointing,
                 fused_projections=cfg.fused_projections,
+                quantization=cfg.quantization,
             ),
             vision=self.model_config.vision.replace(
                 block_impl=cfg.vision_block_impl,
@@ -168,6 +173,15 @@ class FastVLMBackbone:
         self.output_dim = int(self.model_config.text.hidden_size)
 
         self.params = self._load_or_init_params()
+        if cfg.quantization != "none":
+            if cfg.train_backbone:
+                raise ValueError(
+                    "quantization is inference-only: incompatible with "
+                    "train_backbone=True"
+                )
+            from ..io.quantize import quantize_params
+
+            self.params = quantize_params(self.params)
         self._jitted_forward = jax.jit(self._forward_impl)
         logger.info(
             "[FastVLMBackbone] expected (S,S) = (%d,%d)",

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention, make_attention_bias
 from ..ops.norms import rms_norm
+from ..ops.quant import dense_apply, fused_dense_apply
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -56,6 +57,13 @@ class Qwen2Config:
     # tree is unchanged (kernels are concatenated inside the jitted fn), so
     # checkpoints and the HF weight converter are unaffected.
     fused_projections: bool = True
+    # Weight-only int8 serving mode ("none" | "int8"): matmul kernels are
+    # stored int8 with per-output-channel scales (``ops/quant.py``), halving
+    # the HBM weight traffic that bounds small-batch decode. Apply with a
+    # tree produced by ``io/quantize.quantize_params``; training and init
+    # always use float params. No reference equivalent (the reference serves
+    # eager torch fp32/bf16) — TPU-native extension, flag-gated.
+    quantization: str = "none"
 
     @property
     def resolved_head_dim(self) -> int:
@@ -144,23 +152,25 @@ class Qwen2Attention(nn.Module):
                 param_dtype=cfg.param_dtype, name=name,
             )
 
-        if self.is_initializing() or not cfg.fused_projections:
+        quantized = cfg.quantization != "none" and not self.is_initializing()
+        if self.is_initializing() or not (cfg.fused_projections or quantized):
             q = dense(n * d, True, "q_proj")(x)
             k = dense(k_heads * d, True, "k_proj")(x)
             v = dense(k_heads * d, True, "v_proj")(x)
-        else:
+        elif cfg.fused_projections:
             # One (H, (n+2k)*d) matmul instead of three small-N dots: the
             # separate k/v projections (N=256 at 0.5B) underutilize the MXU.
+            # Quantized kernels concatenate in int8 (ops/quant.py).
             p = self.variables["params"]
-            w_qkv = jnp.concatenate(
-                [p["q_proj"]["kernel"], p["k_proj"]["kernel"],
-                 p["v_proj"]["kernel"]], axis=-1,
-            ).astype(cfg.dtype)
-            b_qkv = jnp.concatenate(
-                [p["q_proj"]["bias"], p["k_proj"]["bias"], p["v_proj"]["bias"]]
-            ).astype(cfg.dtype)
-            qkv = x.astype(cfg.dtype) @ w_qkv + b_qkv
+            qkv = fused_dense_apply(
+                x, [p["q_proj"], p["k_proj"], p["v_proj"]], cfg.dtype
+            )
             q, k, v = jnp.split(qkv, [n * d, (n + k_heads) * d], axis=-1)
+        else:
+            p = self.variables["params"]
+            q = dense_apply(x, p["q_proj"], cfg.dtype)
+            k = dense_apply(x, p["k_proj"], cfg.dtype)
+            v = dense_apply(x, p["v_proj"], cfg.dtype)
         q = q.reshape(b, t, n, d)
         k = k.reshape(b, t, k_heads, d)
         v = v.reshape(b, t, k_heads, d)
@@ -190,7 +200,10 @@ class Qwen2Attention(nn.Module):
             impl=cfg.attention_impl,
         )
         out = out.reshape(b, t, n * d)
-        out = dense(cfg.hidden_size, False, "o_proj")(out)
+        if quantized:
+            out = dense_apply(out, self.variables["params"]["o_proj"], cfg.dtype)
+        else:
+            out = dense(cfg.hidden_size, False, "o_proj")(out)
         return out, new_cache
 
 
@@ -207,17 +220,22 @@ class Qwen2MLP(nn.Module):
                 param_dtype=cfg.param_dtype, name=name,
             )
 
-        if self.is_initializing() or not cfg.fused_projections:
+        quantized = cfg.quantization != "none" and not self.is_initializing()
+        if self.is_initializing() or not (cfg.fused_projections or quantized):
             gate = dense(cfg.intermediate_size, "gate_proj")(x)
             up = dense(cfg.intermediate_size, "up_proj")(x)
+        elif cfg.fused_projections:
+            p = self.variables["params"]
+            gu = fused_dense_apply(x, [p["gate_proj"], p["up_proj"]], cfg.dtype)
+            gate, up = jnp.split(gu, 2, axis=-1)
         else:
             p = self.variables["params"]
-            w_gu = jnp.concatenate(
-                [p["gate_proj"]["kernel"], p["up_proj"]["kernel"]], axis=-1
-            ).astype(cfg.dtype)
-            gu = x.astype(cfg.dtype) @ w_gu
-            gate, up = jnp.split(gu, 2, axis=-1)
-        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+            gate = dense_apply(x, p["gate_proj"], cfg.dtype)
+            up = dense_apply(x, p["up_proj"], cfg.dtype)
+        h = nn.silu(gate) * up
+        if quantized:
+            return dense_apply(h, self.variables["params"]["down_proj"], cfg.dtype)
+        return dense(cfg.hidden_size, "down_proj")(h)
 
 
 class RMSNorm(nn.Module):
@@ -414,6 +432,10 @@ class Qwen2ForCausalLM(nn.Module):
         )
         if self.cfg.tie_word_embeddings:
             logits = tied_logits
+        elif self.cfg.quantization != "none" and not self.is_initializing():
+            logits = dense_apply(
+                hidden, self.variables["params"]["lm_head"], self.cfg.dtype
+            )
         else:
             logits = nn.Dense(
                 self.cfg.vocab_size,

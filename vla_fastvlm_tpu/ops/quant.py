@@ -1,0 +1,103 @@
+"""Weight-only int8 quantization primitives (inference serving mode).
+
+The reference has no quantized path (its serving loop runs eager torch
+bf16/fp32, reference ``lerobot_fastvla/modeling_fastvla.py:113-125``); this is
+a TPU-native extension: KV-cached decode at small batch is weight-HBM-bandwidth
+bound (BASELINE.md: 3330 tokens/sec at batch 16 is set by streaming ~1 GB of
+bf16 decoder weights per step), so storing matmul kernels as int8 halves the
+bytes each decode step must pull from HBM.
+
+Scheme: symmetric per-output-channel absmax. A float kernel ``(..., K, N)``
+becomes ``kernel`` int8 ``(..., K, N)`` + ``scale`` f32 ``(..., 1, N)``. The
+matmul computes ``(x @ kernel.astype(compute_dtype)) * scale`` — the int8→bf16
+convert fuses into the dot's operand load (no dequantized copy ever hits HBM)
+and the per-column scale applies to the output, which commutes with TP row
+splits (scale is linear per output column, so scaling partial sums before the
+psum equals scaling after).
+
+Quality: int8 per-channel weight-only is the standard "free lunch" point in
+the quantization literature (~0.1% quality deltas); a logit-error bound is
+pinned in ``tests/test_quantization.py``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+
+
+def quantize_kernel(kernel: jnp.ndarray) -> dict:
+    """Float kernel (..., K, N) -> {"kernel": int8, "scale": f32 (..., 1, N)}.
+
+    Symmetric absmax per output column (last axis), reduced over the input
+    axis (-2) only, so scan-stacked kernels (L, K, N) get per-layer
+    per-column scales.
+    """
+    if kernel.ndim < 2:
+        raise ValueError(f"expected a matmul kernel (..., K, N), got {kernel.shape}")
+    k32 = jnp.asarray(kernel, jnp.float32)
+    absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / INT8_MAX, 1.0)
+    q = jnp.clip(jnp.round(k32 / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return {"kernel": q, "scale": scale.astype(jnp.float32)}
+
+
+def is_quantized(leaf: dict) -> bool:
+    kernel = leaf.get("kernel") if isinstance(leaf, dict) else None
+    return kernel is not None and kernel.dtype == jnp.int8
+
+
+def dense_apply(x: jnp.ndarray, leaf: dict, dtype) -> jnp.ndarray:
+    """Apply a maybe-quantized Dense param leaf: x @ W (+ bias).
+
+    ``leaf`` is a param subtree ``{"kernel", ["scale"], ["bias"]}``; the int8
+    branch computes ``(x @ q) * scale`` in ``dtype``.
+    """
+    kernel = leaf["kernel"]
+    if kernel.dtype == jnp.int8:
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        y = y * leaf["scale"].astype(dtype)
+    else:
+        y = x.astype(dtype) @ kernel.astype(dtype)
+    bias = leaf.get("bias")
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def effective_kernel(leaf: dict, dtype) -> jnp.ndarray:
+    """Dequantized (or plainly cast) float kernel for fused concatenation."""
+    kernel = leaf["kernel"]
+    if kernel.dtype == jnp.int8:
+        return kernel.astype(dtype) * leaf["scale"].astype(dtype)
+    return kernel.astype(dtype)
+
+
+def fused_dense_apply(x: jnp.ndarray, leaves: list, dtype) -> jnp.ndarray:
+    """One matmul over column-concatenated projection kernels.
+
+    The fused-projection optimization (Qwen2Config.fused_projections): the
+    separate k/v and gate/up dots underutilize the 128-lane MXU, so the
+    kernels concatenate along the output axis at apply time. For quantized
+    leaves the concatenation stays **int8** (scales are per output column, so
+    they concatenate alongside) — dequantizing before the concat would write
+    a bf16 copy of the weights to HBM every step and forfeit the bandwidth
+    win. Mixed quantized/float groups are rejected.
+
+    Biases: leaves may carry "bias" (all or none).
+    """
+    quantized = [leaf["kernel"].dtype == jnp.int8 for leaf in leaves]
+    if any(quantized) and not all(quantized):
+        raise ValueError("fused projection group mixes quantized and float kernels")
+    kcat = jnp.concatenate([leaf["kernel"] for leaf in leaves], axis=-1)
+    if all(quantized):
+        y = x.astype(dtype) @ kcat.astype(dtype)
+        scale = jnp.concatenate([leaf["scale"] for leaf in leaves], axis=-1)
+        y = y * scale.astype(dtype)
+    else:
+        y = x.astype(dtype) @ kcat.astype(dtype)
+    if "bias" in leaves[0]:
+        bcat = jnp.concatenate([leaf["bias"] for leaf in leaves], axis=-1)
+        y = y + bcat.astype(dtype)
+    return y

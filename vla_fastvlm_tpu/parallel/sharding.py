@@ -39,6 +39,16 @@ _TP_RULES: tuple[tuple[tuple[str, ...], P], ...] = (
     (("mlp", "up_proj", "kernel"), P(None, MODEL_AXIS)),
     (("mlp", "down_proj", "kernel"), P(MODEL_AXIS, None)),
     (("lm_head", "kernel"), P(None, MODEL_AXIS)),
+    # Weight-only int8 scales (io/quantize.py): per-output-column (..., 1, N),
+    # so they follow their kernel's OUTPUT split — column-split kernels shard
+    # scales on model, row-split kernels (o_proj/down_proj) keep per-output
+    # scales replicated (the default rule).
+    (("self_attn", "q_proj", "scale"), P(None, MODEL_AXIS)),
+    (("self_attn", "k_proj", "scale"), P(None, MODEL_AXIS)),
+    (("self_attn", "v_proj", "scale"), P(None, MODEL_AXIS)),
+    (("mlp", "gate_proj", "scale"), P(None, MODEL_AXIS)),
+    (("mlp", "up_proj", "scale"), P(None, MODEL_AXIS)),
+    (("lm_head", "scale"), P(None, MODEL_AXIS)),
 )
 
 
