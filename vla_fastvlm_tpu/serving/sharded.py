@@ -115,6 +115,10 @@ class ShardedPolicyRuntime:
     jax.jit,
     static_argnums=(0,),
     static_argnames=("max_new_tokens", "temperature", "eos_token_id"),
+    # The caller-provided cache is consumed: donating it lets XLA alias the
+    # (L, B, S, K, D) buffers instead of allocating a second cache-sized
+    # block for the scan carry (ROADMAP: donated serving buffers).
+    donate_argnums=(5,),
 )
 def _generate_with_cache(
     model: FastVLM,
