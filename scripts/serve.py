@@ -47,6 +47,12 @@ class ServeArgs:
     tp: int = 1
     # "int8": weight-only quantized decoder kernels (io/quantize.py).
     quantization: str = "none"
+    # Paged KV cache: persistent HBM scales with allocated tokens instead of
+    # slots x max_len (serving/paged_kv.py). Single-chip only.
+    paged: bool = False
+    page_size: int = 16
+    # Pool size in pages (default: every slot at max length + trash page).
+    num_pages: Optional[int] = None
 
 
 def main(args: ServeArgs) -> None:
@@ -84,21 +90,37 @@ def main(args: ServeArgs) -> None:
         )
     )
     size = backbone.model_config.image_size
-    mesh = None
-    if args.tp > 1:
-        from vla_fastvlm_tpu.parallel import make_mesh
+    if args.paged:
+        if args.tp > 1:
+            raise ValueError("--paged is single-chip (no TP mesh support yet)")
+        from vla_fastvlm_tpu.serving import PagedGenerationServer
 
-        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
-    server = GenerationServer(
-        backbone.model,
-        backbone.params,
-        num_slots=args.num_slots,
-        prompt_len=args.prompt_len,
-        max_new_tokens=args.max_new_tokens,
-        eos_token_id=-1,  # synthetic stream: run every request to max length
-        prefill_batch=args.prefill_batch,
-        mesh=mesh,
-    )
+        server = PagedGenerationServer(
+            backbone.model,
+            backbone.params,
+            num_slots=args.num_slots,
+            prompt_len=args.prompt_len,
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=-1,
+            page_size=args.page_size,
+            num_pages=args.num_pages,
+        )
+    else:
+        mesh = None
+        if args.tp > 1:
+            from vla_fastvlm_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
+        server = GenerationServer(
+            backbone.model,
+            backbone.params,
+            num_slots=args.num_slots,
+            prompt_len=args.prompt_len,
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=-1,  # synthetic stream: run to max length
+            prefill_batch=args.prefill_batch,
+            mesh=mesh,
+        )
 
     rng = np.random.default_rng(args.seed)
 

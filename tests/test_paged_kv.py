@@ -1,0 +1,149 @@
+"""Paged KV cache serving (serving/paged_kv.py).
+
+Exactness anchor: paged continuous batching must emit exactly the tokens
+sequential whole-batch generation emits (same anchor as the dense
+``GenerationServer`` tests). Plus the paging-specific behaviors: page reuse
+after a slot finishes (an oversubscribed pool serves more requests than
+concurrent max-length slots could), allocation exhaustion, and trash-page
+isolation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vla_fastvlm_tpu.models import FastVLM, fastvlm_tiny
+from vla_fastvlm_tpu.models.qwen2 import qwen2_tiny
+from vla_fastvlm_tpu.serving import generate
+from vla_fastvlm_tpu.serving.paged_kv import PagedGenerationServer, PagedKVPool
+
+
+@pytest.fixture(scope="module")
+def vlm():
+    cfg = fastvlm_tiny()
+    model = FastVLM(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    imgs = jnp.zeros((1, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(0), imgs, ids)["params"]
+    return cfg, model, params
+
+
+def _requests(n, prompt_len, size, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        length = int(rng.integers(2, prompt_len + 1))
+        ids = np.zeros((1, prompt_len), np.int32)
+        mask = np.zeros((1, prompt_len), np.int32)
+        ids[0, :length] = rng.integers(3, 100, length)
+        mask[0, :length] = 1
+        img = rng.random((1, 3, size, size), dtype=np.float32)
+        out.append((ids, mask, img))
+    return out
+
+
+class TestPool:
+    def test_allocate_free_roundtrip(self):
+        pool = PagedKVPool(qwen2_tiny(), num_pages=9, page_size=4,
+                           num_slots=2, max_len=16)
+        assert pool.free_pages == 8
+        pool.allocate(0, 9)  # 3 pages
+        assert pool.free_pages == 5
+        assert np.count_nonzero(pool.page_table[0]) == 3
+        pool.allocate(0, 10)  # still 3 pages
+        assert pool.free_pages == 5
+        pool.allocate(0, 13)  # grows to 4
+        assert pool.free_pages == 4
+        pool.free(0)
+        assert pool.free_pages == 8
+        assert np.count_nonzero(pool.page_table[0]) == 0
+
+    def test_pool_exhaustion(self):
+        pool = PagedKVPool(qwen2_tiny(), num_pages=3, page_size=4,
+                           num_slots=2, max_len=16)
+        pool.allocate(0, 8)  # uses both free pages
+        with pytest.raises(RuntimeError, match="exhausted"):
+            pool.allocate(1, 4)
+
+    def test_max_len_page_multiple(self):
+        with pytest.raises(ValueError, match="multiple"):
+            PagedKVPool(qwen2_tiny(), num_pages=4, page_size=5,
+                        num_slots=1, max_len=16)
+
+
+class TestPagedServer:
+    def test_matches_sequential_generation(self, vlm):
+        """Interleaved paged serving == whole-batch sequential generate."""
+        cfg, model, params = vlm
+        prompt_len, new = 8, 6
+        reqs = _requests(5, prompt_len, cfg.image_size)
+
+        server = PagedGenerationServer(
+            model, params, num_slots=3, prompt_len=prompt_len,
+            max_new_tokens=new, eos_token_id=-1, page_size=4,
+        )
+        rids = {}
+        outputs = {}
+        it = iter(reqs)
+        pending = next(it, None)
+        while pending is not None or server.num_active:
+            while pending is not None and server.has_free_slot():
+                ids, mask, img = pending
+                rids[server.submit(ids, mask, img)] = (ids, mask, img)
+                pending = next(it, None)
+            outputs.update(server.step())
+        outputs.update(server.step())
+        assert len(outputs) == len(reqs)
+
+        # Reference: batched generate over all requests at once.
+        ids = jnp.asarray(np.concatenate([r[0] for r in reqs]))
+        mask = jnp.asarray(np.concatenate([r[1] for r in reqs]))
+        imgs = jnp.asarray(np.concatenate([r[2] for r in reqs]))
+        ref = np.asarray(
+            generate(model, params, imgs, ids, mask,
+                     max_new_tokens=new, eos_token_id=-1)
+        )
+        for rid in sorted(rids):
+            np.testing.assert_array_equal(
+                np.asarray(outputs[rid]), ref[rid], err_msg=f"request {rid}"
+            )
+
+    def test_page_reuse_oversubscribed_pool(self, vlm):
+        """A pool sized for ~1.5 concurrent max-length slots serves 4
+        sequential requests via page recycling."""
+        cfg, model, params = vlm
+        prompt_len, new = 8, 4
+        logical = cfg.num_image_tokens + prompt_len + new  # 28 -> 7 pages
+        pages_per_req = -(-logical // 4)
+        server = PagedGenerationServer(
+            model, params, num_slots=2, prompt_len=prompt_len,
+            max_new_tokens=new, eos_token_id=-1, page_size=4,
+            num_pages=pages_per_req + 3,
+        )
+        reqs = _requests(4, prompt_len, cfg.image_size, seed=1)
+        outputs = {}
+        for ids, mask, img in reqs:
+            server.submit(ids, mask, img)
+            outputs.update(server.run_to_completion())
+        assert len(outputs) == 4
+        for tokens in outputs.values():
+            assert len(tokens) == new
+
+    def test_eos_frees_slot_early(self, vlm):
+        cfg, model, params = vlm
+        prompt_len = 8
+        server = PagedGenerationServer(
+            model, params, num_slots=1, prompt_len=prompt_len,
+            max_new_tokens=8, page_size=4,
+        )
+        ids, mask, img = _requests(1, prompt_len, cfg.image_size, seed=2)[0]
+        # Force the first emitted token to be EOS by making eos huge... not
+        # controllable with random weights; instead check bookkeeping: free
+        # pages return when remaining hits 0.
+        before = server.pool.free_pages
+        server.submit(ids, mask, img)
+        assert server.pool.free_pages < before
+        server.run_to_completion()
+        assert server.pool.free_pages == before
+        assert server.num_active == 0

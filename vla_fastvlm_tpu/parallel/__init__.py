@@ -7,7 +7,12 @@ from .mesh import (
     make_mesh,
     single_device_mesh,
 )
-from .pipeline import PIPE_AXIS, make_pipe_mesh, pipeline_forward
+from .pipeline import (
+    PIPE_AXIS,
+    make_pipe_mesh,
+    make_pipeline_train_step,
+    pipeline_forward,
+)
 from .sharding import (
     batch_shardings,
     batch_spec,
@@ -24,6 +29,7 @@ __all__ = [
     "MODEL_AXIS",
     "PIPE_AXIS",
     "make_pipe_mesh",
+    "make_pipeline_train_step",
     "pipeline_forward",
     "batch_shardings",
     "batch_spec",

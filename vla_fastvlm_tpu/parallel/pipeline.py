@@ -16,9 +16,18 @@ Design notes (TPU-first):
 - The final stage's outputs are broadcast back with a masked ``psum`` so the
   caller sees a replicated (B, T, H) array.
 
-Intended for forward/inference at multi-slice scale; training-time PP
-(activation stashing, 1F1B) is out of scope for parity and noted in
-ROADMAP.md.
+Training-time PP: the schedule is differentiable end to end — shard_map
+transposes ``ppermute`` into the reverse ring permute and the masked ``psum``
+into a broadcast, so ``jax.grad`` through ``pipeline_forward`` IS the GPipe
+backward (forward all microbatches, then backward all, with stage-to-stage
+activation-cotangent ppermutes). ``remat=True`` checkpoints each stage-tick
+so stashed activations are recomputed in the backward instead of stored —
+the classic GPipe memory trade. ``pipeline_train_step`` packages loss, grads
+(stage-local for the layer stack), and an optax update into one jitted
+program; gradient parity with the unpipelined graph is pinned by
+``tests/test_pipeline.py``. A 1F1B interleave is a scheduling refinement XLA
+cannot express without manual backward staging; GPipe-with-remat is the
+JAX-idiomatic equivalent at these depths.
 """
 
 from __future__ import annotations
@@ -82,6 +91,7 @@ def pipeline_forward(
     attention_mask: jnp.ndarray | None,
     mesh: Mesh,
     n_microbatches: int = 2,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full-causal decoder forward, layer stack pipelined over ``pipe``.
 
@@ -118,6 +128,14 @@ def pipeline_forward(
     x_m, mask_m = micro(x), micro(attention_mask)
     cos_m, sin_m = micro(cos), micro(sin)
 
+    run_layers = _run_local_layers
+    if remat:
+        # GPipe activation stashing: recompute each stage-tick's internals
+        # in the backward instead of storing per-layer residuals.
+        run_layers = jax.checkpoint(
+            _run_local_layers, static_argnums=(0, 6), prevent_cse=False
+        )
+
     def stage_fn(layers, x_m, mask_m, cos_m, sin_m):
         p = jax.lax.axis_index(PIPE_AXIS)
         carry = jnp.zeros_like(x_m[0])
@@ -129,7 +147,7 @@ def pipeline_forward(
             mb_idx = jnp.clip(tick - p, 0, n_microbatches - 1)
             inject = jnp.take(x_m, mb_idx, axis=0)
             inp = jnp.where(p == 0, inject, carry)
-            out = _run_local_layers(
+            out = run_layers(
                 cfg, layers, inp,
                 jnp.take(mask_m, mb_idx, axis=0),
                 jnp.take(cos_m, mb_idx, axis=0),
@@ -168,3 +186,53 @@ def pipeline_forward(
     from ..ops.norms import rms_norm
 
     return rms_norm(y, params["norm"]["weight"], cfg.rms_norm_eps)
+
+
+def make_pipeline_train_step(
+    model: Qwen2Model,
+    tx,
+    mesh: Mesh,
+    n_microbatches: int = 2,
+    loss_fn=None,
+    remat: bool = True,
+):
+    """Jitted GPipe training step: (params, opt_state, ids, mask, targets).
+
+    ``loss_fn(hidden, targets) -> scalar`` defaults to MSE over the hidden
+    states (the FastVLA head loss shape; swap in an LM cross-entropy for text
+    pretraining). Gradients flow through the pipelined stack — stage-local
+    for the layer params, replicated for embed/norm — and ``tx`` (optax)
+    applies the update in the same program. Returns ``(step, place)`` where
+    ``place(params)`` puts the layer stack on the pipe mesh once up front.
+    """
+    if loss_fn is None:
+        def loss_fn(hidden, targets):
+            return jnp.mean(jnp.square(hidden - targets.astype(hidden.dtype)))
+
+    def scalar_loss(params, input_ids, attention_mask, targets):
+        hidden = pipeline_forward(
+            model, params, input_ids, attention_mask, mesh,
+            n_microbatches=n_microbatches, remat=remat,
+        )
+        return loss_fn(hidden, targets)
+
+    def place(params):
+        placed_layers = jax.device_put(
+            params["layers"],
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P(PIPE_AXIS)), params["layers"]
+            ),
+        )
+        return {**params, "layers": placed_layers}
+
+    @jax.jit
+    def step(params, opt_state, input_ids, attention_mask, targets):
+        loss, grads = jax.value_and_grad(scalar_loss)(
+            params, input_ids, attention_mask, targets
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step, place

@@ -3,6 +3,7 @@ policy runtime, single-chip and mesh-sharded (TP x DP)."""
 
 from .continuous_batching import GenerationServer
 from .generate import build_cache, generate
+from .paged_kv import PagedGenerationServer, PagedKVPool
 from .policy_runtime import ActionQueuePolicy, BatchedEnvRunner
 from .sharded import ShardedPolicyRuntime, sharded_generate
 
@@ -10,6 +11,8 @@ __all__ = [
     "ActionQueuePolicy",
     "BatchedEnvRunner",
     "GenerationServer",
+    "PagedGenerationServer",
+    "PagedKVPool",
     "ShardedPolicyRuntime",
     "build_cache",
     "generate",

@@ -1,0 +1,376 @@
+"""Paged KV cache for the continuous-batching generation server.
+
+The slot-based ``GenerationServer`` preallocates ``num_slots x max_len`` KV
+storage; with heterogeneous request lengths most of it is dead. Paged KV
+(vLLM-style, recast for XLA's static shapes) stores K/V in a shared pool of
+fixed-size pages and gives each slot a page table, so persistent HBM scales
+with *allocated tokens*, not ``slots x max_len``:
+
+- **Pool**: ``(L, num_pages, page_size, K, D)`` per K/V. Physical page 0 is
+  the trash page — unallocated table entries point at it, writes to dummy
+  rows land there, and the kv mask keeps attention from ever reading it.
+- **Page tables**: host-side ``(num_slots, pages_per_slot)`` int32, shipped
+  to the device per tick (tiny). Allocation/free is host bookkeeping — a
+  free list, O(1) per page, no device round trips.
+- **Decode tick**: gathers each active slot's pages into the *logical*
+  ``(L, B, S_max, K, D)`` window, runs the exact same KV-cached decode
+  program as the dense server (``models/qwen2.py`` per-example cursors),
+  then scatters the new token's K/V back into the pool at
+  ``page_table[slot, len // page], len % page``.
+
+XLA caveat (documented, deliberate): the gather materializes the logical
+window transiently each tick, so *peak* memory during a tick is pool +
+window, and the window costs one extra HBM write per tick vs the dense
+server. Persistent memory is what pages save. Removing the transient window
+requires a fused paged-attention kernel that indexes pages inside the kernel
+loop — the seam is this module's ``gather_window`` (swap for a Pallas
+paged-attention call); see ``ops/pallas/flash_attention.py`` for the kernel
+base it would extend.
+
+No reference counterpart: the reference has no serving/generation path at
+all (its policy is one eager forward per env step, reference
+``lerobot_fastvla/modeling_fastvla.py:113-125``); this is TPU-native serving
+infrastructure. Exactness vs sequential generation is pinned by
+``tests/test_paged_kv.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.fastvlm import FastVLM
+from ..models.qwen2 import Qwen2Config
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int = -1
+    active: bool = False
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    remaining: int = 0
+    length: int = 0  # valid tokens in the logical window
+
+
+class PagedKVPool:
+    """Host-managed page allocator over device-resident K/V pools."""
+
+    def __init__(
+        self,
+        cfg: Qwen2Config,
+        num_pages: int,
+        page_size: int,
+        num_slots: int,
+        max_len: int,
+        dtype=None,
+    ) -> None:
+        if max_len % page_size:
+            raise ValueError(
+                f"max_len {max_len} must be a multiple of page_size {page_size}"
+            )
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.pages_per_slot = max_len // page_size
+        self.max_len = max_len
+        shape = (
+            cfg.num_hidden_layers,
+            num_pages,
+            page_size,
+            cfg.num_key_value_heads,
+            cfg.resolved_head_dim,
+        )
+        dtype = dtype or cfg.dtype
+        self.pool_k = jnp.zeros(shape, dtype)
+        self.pool_v = jnp.zeros(shape, dtype)
+        # Page 0 = trash: never allocated, absorbs writes from dummy rows.
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        # Host page tables; 0 (trash) marks unallocated entries.
+        self.page_table = np.zeros((num_slots, self.pages_per_slot), np.int32)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def pages_needed(self, tokens: int) -> int:
+        return -(-tokens // self.page_size)
+
+    def allocate(self, slot: int, tokens: int) -> None:
+        """Ensure ``slot`` has pages covering ``tokens`` logical positions."""
+        have = int(np.count_nonzero(self.page_table[slot]))
+        need = self.pages_needed(tokens)
+        if need > self.pages_per_slot:
+            raise ValueError(
+                f"request needs {need} pages > pages_per_slot {self.pages_per_slot}"
+            )
+        for i in range(have, need):
+            if not self._free:
+                raise RuntimeError("paged KV pool exhausted")
+            self.page_table[slot, i] = self._free.pop()
+
+    def free(self, slot: int) -> None:
+        for i in range(self.pages_per_slot):
+            page = int(self.page_table[slot, i])
+            if page:
+                self._free.append(page)
+        self.page_table[slot] = 0
+
+
+class PagedGenerationServer:
+    """Continuous batching over a paged KV pool.
+
+    Same submit/step/flush surface as ``GenerationServer``; requests are
+    admitted with exactly the pages their prompt needs plus pages on demand
+    as decode crosses page boundaries, and finished slots return their pages
+    to the pool immediately.
+    """
+
+    def __init__(
+        self,
+        model: FastVLM,
+        params,
+        num_slots: int = 8,
+        prompt_len: int = 64,
+        max_new_tokens: int = 32,
+        eos_token_id: int = 2,
+        page_size: int = 16,
+        num_pages: Optional[int] = None,
+    ) -> None:
+        self.model = model
+        self.params = params
+        self.num_slots = num_slots
+        self.prompt_len = prompt_len
+        self.max_new_tokens = max_new_tokens
+        self.eos_token_id = eos_token_id
+
+        cfg = model.cfg
+        logical = cfg.num_image_tokens + prompt_len + max_new_tokens
+        # Round the logical window up to whole pages.
+        page_count = -(-logical // page_size)
+        self._max_len = page_count * page_size
+        if num_pages is None:
+            # Default: enough for every slot at max length (memory parity
+            # with the dense server); callers shrink it to oversubscribe.
+            num_pages = num_slots * page_count + 1
+        self.pool = PagedKVPool(
+            cfg.text, num_pages, page_size, num_slots, self._max_len
+        )
+        self._slots = [_Slot() for _ in range(num_slots)]
+        self._next_rid = 0
+        self._pending_token = np.full(num_slots, eos_token_id, np.int32)
+        # Host mirror of each slot's valid-position mask (what the dense
+        # cache carries in cache["mask"]).
+        self._slot_mask = np.zeros((num_slots, self._max_len), bool)
+        self._finished: Dict[int, List[int]] = {}
+
+        n_layers = cfg.text.num_hidden_layers
+        kv_heads = cfg.text.num_key_value_heads
+        head_dim = cfg.text.resolved_head_dim
+        page = page_size
+        pages_per_slot = self.pool.pages_per_slot
+
+        def prefill_one(params, images, ids, mask):
+            """Batch-1 prefill -> (next_token, k, v) with k/v (L, T, K, D)."""
+            cache = {
+                "k": jnp.zeros((n_layers, 1, self._max_len, kv_heads, head_dim),
+                               cfg.text.dtype),
+                "v": jnp.zeros((n_layers, 1, self._max_len, kv_heads, head_dim),
+                               cfg.text.dtype),
+                "mask": jnp.zeros((1, self._max_len), jnp.bool_),
+                "index": jnp.zeros((1,), jnp.int32),
+            }
+            last_logits, _, cache, _, _ = model.apply(
+                {"params": params}, images, ids, mask, cache,
+                method=FastVLM.prefill,
+            )
+            token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)[0]
+            # cache["mask"] marks VALID positions (image + real text tokens;
+            # prompt pad slots stay false) — the host mirrors it per slot so
+            # gathered decode windows mask pads exactly like the dense path
+            # (and RoPE counts true lengths, models/qwen2.py).
+            return token, cache["k"][:, 0], cache["v"][:, 0], cache["mask"][0]
+
+        def scatter_prefill(pool_k, pool_v, k, v, pages):
+            """Write (L, max_len, K, D) k/v into ``pages`` (pages_per_slot,)."""
+            k = k.reshape(n_layers, pages_per_slot, page, kv_heads, head_dim)
+            v = v.reshape(n_layers, pages_per_slot, page, kv_heads, head_dim)
+            pool_k = pool_k.at[:, pages].set(k.astype(pool_k.dtype))
+            pool_v = pool_v.at[:, pages].set(v.astype(pool_v.dtype))
+            return pool_k, pool_v
+
+        def decode_tick(params, pool_k, pool_v, tables, masks, lengths, tokens):
+            """One decode step across all slots against gathered windows.
+
+            tables: (B, pages_per_slot) int32; masks: (B, max_len) valid-slot
+            bools; lengths: (B,) slot write cursors (padded prefill width +
+            decoded tokens, matching the dense cache's ``index`` clock);
+            tokens: (B,) last emitted token per slot.
+            """
+            b = tables.shape[0]
+            # gather_window — the paged-attention fusion seam.
+            k = pool_k[:, tables]  # (L, B, P, page, K, D)
+            v = pool_v[:, tables]
+            k = k.reshape(n_layers, b, self._max_len, kv_heads, head_dim)
+            v = v.reshape(n_layers, b, self._max_len, kv_heads, head_dim)
+            cache = {
+                "k": k,
+                "v": v,
+                "mask": masks,
+                "index": lengths,
+            }
+            logits, new_cache = model.apply(
+                {"params": params}, tokens[:, None], cache,
+                method=FastVLM.decode_step,
+            )
+            next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # Writeback: the decode wrote each slot's new K/V at slot index
+            # ``lengths[b]`` of the logical window; scatter that one position
+            # into its page.
+            rows = jnp.arange(b)
+            new_k = jax.vmap(
+                lambda kk, idx: jax.lax.dynamic_slice_in_dim(kk, idx, 1, axis=1),
+                in_axes=(1, 0), out_axes=1,
+            )(new_cache["k"], lengths)  # (L, B, 1, K, D)
+            new_v = jax.vmap(
+                lambda vv, idx: jax.lax.dynamic_slice_in_dim(vv, idx, 1, axis=1),
+                in_axes=(1, 0), out_axes=1,
+            )(new_cache["v"], lengths)
+            page_ids = tables[rows, lengths // page]  # (B,)
+            offsets = lengths % page
+            pool_k = pool_k.at[:, page_ids, offsets].set(
+                new_k[:, :, 0].astype(pool_k.dtype)
+            )
+            pool_v = pool_v.at[:, page_ids, offsets].set(
+                new_v[:, :, 0].astype(pool_v.dtype)
+            )
+            return next_tokens, pool_k, pool_v
+
+        self._prefill = jax.jit(prefill_one)
+        self._scatter = jax.jit(scatter_prefill, donate_argnums=(0, 1))
+        self._decode = jax.jit(decode_tick, donate_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+
+    def has_free_slot(self) -> bool:
+        return any(not s.active for s in self._slots)
+
+    @property
+    def num_active(self) -> int:
+        return sum(s.active for s in self._slots)
+
+    def submit(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        images: Optional[np.ndarray] = None,
+    ) -> int:
+        """Admit one request: prefill, allocate prompt pages, scatter."""
+        ids = np.atleast_2d(np.asarray(input_ids, np.int32))
+        mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
+        if ids.shape[1] != self.prompt_len:
+            raise ValueError(
+                f"prompt must be padded to prompt_len={self.prompt_len}, "
+                f"got {ids.shape[1]}"
+            )
+        free = [i for i, s in enumerate(self._slots) if not s.active]
+        if not free:
+            raise RuntimeError("no free generation slots")
+        slot_idx = free[0]
+        # Logical prefill width: image tokens + padded prompt (the model
+        # advances the cursor by the padded width; see models/fastvlm.py).
+        prefill_len = self.model.cfg.num_image_tokens + self.prompt_len
+        self.pool.allocate(slot_idx, prefill_len + 1)
+
+        token, k, v, seq_mask = self._prefill(
+            self.params,
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
+        self._slot_mask[slot_idx] = np.asarray(seq_mask)
+        pages = jnp.asarray(self.pool.page_table[slot_idx])
+        self.pool.pool_k, self.pool.pool_v = self._scatter(
+            self.pool.pool_k, self.pool.pool_v, k, v, pages
+        )
+
+        rid = self._next_rid
+        self._next_rid += 1
+        slot = self._slots[slot_idx]
+        slot.request_id = rid
+        slot.active = True
+        slot.tokens = [int(token)]
+        slot.remaining = self.max_new_tokens - 1
+        slot.length = prefill_len
+        self._pending_token[slot_idx] = int(token)
+        self._finish_if_done(slot_idx)
+        return rid
+
+    def _finish_if_done(self, slot_idx: int) -> None:
+        slot = self._slots[slot_idx]
+        if not slot.active:
+            return
+        if slot.remaining > 0 and slot.tokens[-1] != self.eos_token_id:
+            return
+        slot.active = False
+        self._pending_token[slot_idx] = self.eos_token_id
+        self._finished[slot.request_id] = list(slot.tokens)
+        self.pool.free(slot_idx)
+        self._slot_mask[slot_idx] = False
+        slot.length = 0
+
+    def step(self) -> Dict[int, List[int]]:
+        """One decode tick across all active slots."""
+        if self.num_active:
+            for i, slot in enumerate(self._slots):
+                if slot.active:
+                    # Page for the K/V this tick writes at position length.
+                    self.pool.allocate(i, slot.length + 1)
+            # Inactive slots decode against the trash page with length 1 and
+            # a one-hot mask (a fully-masked attention row would be 0/0);
+            # their outputs are discarded and their writeback lands in the
+            # trash page.
+            lengths = np.array(
+                [s.length if s.active else 1 for s in self._slots], np.int32
+            )
+            masks = self._slot_mask.copy()
+            for i, slot in enumerate(self._slots):
+                if not slot.active:
+                    masks[i] = False
+                    masks[i, 0] = True
+            next_tokens, self.pool.pool_k, self.pool.pool_v = self._decode(
+                self.params,
+                self.pool.pool_k,
+                self.pool.pool_v,
+                jnp.asarray(self.pool.page_table),
+                jnp.asarray(masks),
+                jnp.asarray(lengths),
+                jnp.asarray(self._pending_token),
+            )
+            next_host = np.asarray(next_tokens)
+            for i, slot in enumerate(self._slots):
+                if not slot.active:
+                    continue
+                token = int(next_host[i])
+                slot.tokens.append(token)
+                slot.remaining -= 1
+                # The tick wrote this slot's new K/V at position length;
+                # valid for all later ticks.
+                self._slot_mask[i, slot.length] = True
+                slot.length += 1
+                self._pending_token[i] = token
+                self._finish_if_done(i)
+        finished = self._finished
+        self._finished = {}
+        return finished
+
+    def run_to_completion(self, max_ticks: Optional[int] = None) -> Dict[int, List[int]]:
+        outputs: Dict[int, List[int]] = {}
+        ticks = 0
+        while self.num_active and (max_ticks is None or ticks < max_ticks):
+            outputs.update(self.step())
+            ticks += 1
+        outputs.update(self.step())
+        return outputs
