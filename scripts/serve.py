@@ -48,7 +48,7 @@ class ServeArgs:
     # "int8": weight-only quantized decoder kernels (io/quantize.py).
     quantization: str = "none"
     # Paged KV cache: persistent HBM scales with allocated tokens instead of
-    # slots x max_len (serving/paged_kv.py). Single-chip only.
+    # slots x max_len (serving/paged_kv.py). Composes with --tp.
     paged: bool = False
     page_size: int = 16
     # Pool size in pages (default: every slot at max length + trash page).
@@ -90,9 +90,12 @@ def main(args: ServeArgs) -> None:
         )
     )
     size = backbone.model_config.image_size
+    mesh = None
+    if args.tp > 1:
+        from vla_fastvlm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
     if args.paged:
-        if args.tp > 1:
-            raise ValueError("--paged is single-chip (no TP mesh support yet)")
         from vla_fastvlm_tpu.serving import PagedGenerationServer
 
         server = PagedGenerationServer(
@@ -104,13 +107,9 @@ def main(args: ServeArgs) -> None:
             eos_token_id=-1,
             page_size=args.page_size,
             num_pages=args.num_pages,
+            mesh=mesh,
         )
     else:
-        mesh = None
-        if args.tp > 1:
-            from vla_fastvlm_tpu.parallel import make_mesh
-
-            mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
         server = GenerationServer(
             backbone.model,
             backbone.params,

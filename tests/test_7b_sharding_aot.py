@@ -168,3 +168,55 @@ def test_7b_serving_prefill_decode_tp_compiles_on_mesh():
     )
     per_chip = param_bytes / 4 + cache_bytes / 8  # model=4, data*model=8
     assert per_chip < 8e9, per_chip
+
+
+@pytest.mark.slow
+def test_7b_int8_decode_compiles_single_device():
+    """7B weight-only int8 fits and compiles on ONE chip (the single-v5e
+    serving shape bf16 cannot reach: ~15.2 GB bf16 vs ~7.5 GB int8+scales).
+    AOT with abstract params — the live measurement is
+    scripts/bench_7b_serving.py."""
+    from vla_fastvlm_tpu.io.quantize import quantize_params
+    from vla_fastvlm_tpu.models.qwen2 import (
+        Qwen2ForCausalLM,
+        init_kv_cache,
+        qwen2_7b,
+    )
+
+    cfg = qwen2_7b(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                   quantization="int8")
+    model = Qwen2ForCausalLM(cfg)
+
+    float_shapes = jax.eval_shape(
+        lambda: Qwen2ForCausalLM(cfg.replace(quantization="none")).init(
+            jax.random.PRNGKey(0), input_ids=jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+    )
+    qshapes = jax.eval_shape(quantize_params, float_shapes)
+    assert qshapes["lm_head"]["kernel"].dtype == jnp.int8
+    total_bytes = sum(
+        np.prod(s.shape) * s.dtype.itemsize
+        for s in jax.tree_util.tree_leaves(qshapes)
+    )
+    assert total_bytes < 9e9, f"{total_bytes / 1e9:.1f} GB does not fit one v5e"
+
+    b, max_len = 16, 80
+    cache_shape = jax.eval_shape(lambda: init_kv_cache(cfg, b, max_len))
+    tok = jax.ShapeDtypeStruct((b, 1), jnp.int32)
+
+    def decode(params, tok, cache):
+        logits, _, cache = model.apply(
+            {"params": params}, input_ids=tok, cache=cache
+        )
+        return logits[:, -1], cache
+
+    compiled = jax.jit(decode).lower(qshapes, tok, cache_shape).compile()
+    # Temp allocations must stay far below a dequantized bf16 weight copy
+    # (~13 GB). The CPU test backend materializes the fused int8 gate/up
+    # concat (~3.4 GB int8) instead of fusing it into the dot, so the bound
+    # is backend-loose; on the real chip the measured 341 GB/s implied
+    # weight-streaming rate (BASELINE.md, scripts/bench_7b_serving.py)
+    # confirms weights stream int8 without a bf16 copy.
+    stats = compiled.memory_analysis()
+    if stats is not None:
+        assert stats.temp_size_in_bytes < 5e9, stats.temp_size_in_bytes

@@ -130,6 +130,36 @@ class TestPagedServer:
         for tokens in outputs.values():
             assert len(tokens) == new
 
+    def test_tp_mesh_matches_single_device(self, vlm):
+        """Paged serving on a 2-way TP mesh == unsharded paged serving."""
+        from vla_fastvlm_tpu.parallel import make_mesh
+
+        cfg, model, params = vlm
+        prompt_len, new = 8, 4
+        reqs = _requests(3, prompt_len, cfg.image_size, seed=3)
+
+        def run(mesh):
+            server = PagedGenerationServer(
+                model, params, num_slots=2, prompt_len=prompt_len,
+                max_new_tokens=new, eos_token_id=-1, page_size=4, mesh=mesh,
+            )
+            outputs = {}
+            for ids, mask, img in reqs:
+                while not server.has_free_slot():
+                    outputs.update(server.step())
+                server.submit(ids, mask, img)
+            outputs.update(server.run_to_completion())
+            return outputs
+
+        ref = run(None)
+        mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+        got = run(mesh)
+        assert sorted(ref) == sorted(got)
+        for rid in ref:
+            np.testing.assert_array_equal(
+                np.asarray(got[rid]), np.asarray(ref[rid]), err_msg=f"req {rid}"
+            )
+
     def test_eos_frees_slot_early(self, vlm):
         cfg, model, params = vlm
         prompt_len = 8

@@ -153,6 +153,22 @@ class TestQuantizedQwen2:
         scale = float(jnp.abs(ref).max())
         assert float(jnp.abs(got - ref).max()) < 0.05 * scale
 
+    def test_bf16_param_tree_quantizes(self, rng):
+        """Regression: numpy's dtype.kind for bfloat16 is 'V', not 'f' —
+        bf16 trees (the TPU serving default) must quantize too."""
+        cfg = qwen2_tiny(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.ones((1, 4), jnp.int32)
+        params = model.init(jax.random.PRNGKey(3), ids)["params"]
+        qparams = quantize_params(params)
+        from vla_fastvlm_tpu.io.quantize import count_quantized as cq
+
+        assert cq(qparams) == 7
+        got, _, _ = Qwen2ForCausalLM(cfg.replace(quantization="int8")).apply(
+            {"params": qparams}, ids
+        )
+        assert np.isfinite(np.asarray(got, np.float32)).all()
+
     def test_untied_lm_head_quantizes(self, rng):
         cfg = qwen2_tiny(tie_word_embeddings=False)
         model = Qwen2ForCausalLM(cfg)

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import jax.numpy as jnp
+
 from ..ops.quant import quantize_kernel
 
 # Qwen2 decoder matmul param names eligible for weight-only quantization.
@@ -50,7 +52,9 @@ def quantize_params(params, names: Iterable[str] = DEFAULT_QUANT_NAMES):
             name in names
             and "kernel" in node
             and getattr(node["kernel"], "ndim", 0) >= 2
-            and node["kernel"].dtype.kind == "f"
+            # NB: numpy's dtype.kind for bfloat16 is "V", not "f" — use the
+            # jnp floating lattice so bf16/f16 param trees quantize too.
+            and jnp.issubdtype(node["kernel"].dtype, jnp.floating)
         ):
             out = dict(node)
             out.update(quantize_kernel(node["kernel"]))

@@ -138,8 +138,19 @@ class PagedGenerationServer:
         eos_token_id: int = 2,
         page_size: int = 16,
         num_pages: Optional[int] = None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
+        parameters TP-shard Megatron-style and the page pools shard over kv
+        heads (axis 3), matching the dense server's cache layout: page
+        gathers/scatters index axis 1 and stay chip-local; GSPMD inserts
+        only the per-block TP all-reduces."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            params = shard_params(mesh, params)
         self.params = params
         self.num_slots = num_slots
         self.prompt_len = prompt_len
@@ -158,6 +169,16 @@ class PagedGenerationServer:
         self.pool = PagedKVPool(
             cfg.text, num_pages, page_size, num_slots, self._max_len
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import MODEL_AXIS
+
+            pool_sharding = NamedSharding(
+                mesh, P(None, None, None, MODEL_AXIS, None)
+            )
+            self.pool.pool_k = jax.device_put(self.pool.pool_k, pool_sharding)
+            self.pool.pool_v = jax.device_put(self.pool.pool_v, pool_sharding)
         self._slots = [_Slot() for _ in range(num_slots)]
         self._next_rid = 0
         self._pending_token = np.full(num_slots, eos_token_id, np.int32)
