@@ -29,6 +29,7 @@ class GenerateArgs:
     image_size: Optional[int] = None
     max_new_tokens: int = 64
     temperature: float = 0.0
+    top_p: float = 1.0
     tokenizer_max_length: int = 64
     dtype: str = "bfloat16"
     device: Optional[str] = None
@@ -97,6 +98,7 @@ def main(args: GenerateArgs) -> None:
         max_new_tokens=args.max_new_tokens,
         eos_token_id=getattr(backbone.tokenizer, "eos_token_id", 2) or 2,
         temperature=args.temperature,
+        top_p=args.top_p,
         rng=jax.random.PRNGKey(args.seed),
     )
     gen_images = images if mcfg.num_image_tokens > 0 else None

@@ -47,6 +47,9 @@ class ServeArgs:
     tp: int = 1
     # "int8": weight-only quantized decoder kernels (io/quantize.py).
     quantization: str = "none"
+    # Sampling (0.0 = greedy); top_p < 1 applies nucleus filtering.
+    temperature: float = 0.0
+    top_p: float = 1.0
     # Paged KV cache: persistent HBM scales with allocated tokens instead of
     # slots x max_len (serving/paged_kv.py). Composes with --tp.
     paged: bool = False
@@ -108,6 +111,9 @@ def main(args: ServeArgs) -> None:
             page_size=args.page_size,
             num_pages=args.num_pages,
             mesh=mesh,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            seed=args.seed,
         )
     else:
         server = GenerationServer(
@@ -119,6 +125,9 @@ def main(args: ServeArgs) -> None:
             eos_token_id=-1,  # synthetic stream: run to max length
             prefill_batch=args.prefill_batch,
             mesh=mesh,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            seed=args.seed,
         )
 
     rng = np.random.default_rng(args.seed)

@@ -5,6 +5,7 @@ from .continuous_batching import GenerationServer
 from .generate import build_cache, generate
 from .paged_kv import PagedGenerationServer, PagedKVPool
 from .policy_runtime import ActionQueuePolicy, BatchedEnvRunner
+from .sampling import sample_tokens
 from .sharded import ShardedPolicyRuntime, sharded_generate
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     "ShardedPolicyRuntime",
     "build_cache",
     "generate",
+    "sample_tokens",
     "sharded_generate",
 ]

@@ -65,6 +65,9 @@ class GenerationServer:
         eos_token_id: int = 2,
         prefill_batch: int = 4,
         mesh=None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ) -> None:
         """``mesh``: optional TP mesh — parameters and the KV cache (kv heads
         over ``model``) are placed on it and GSPMD shards every program; use
@@ -82,6 +85,10 @@ class GenerationServer:
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.prefill_batch = max(1, min(prefill_batch, num_slots))
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._sample_counter = 0
 
         cfg = model.cfg
         self._cache_len = cfg.num_image_tokens + prompt_len + max_new_tokens
@@ -99,13 +106,17 @@ class GenerationServer:
 
         bp = self.prefill_batch
 
-        def prefill_batched(params, images, ids, mask):
+        from .sampling import sample_tokens
+
+        temp, top_p_ = self.temperature, self.top_p
+
+        def prefill_batched(params, images, ids, mask, key):
             cache_p = init_kv_cache(cfg.text, bp, self._cache_len)
             last_logits, _, cache_p, _, _ = model.apply(
                 {"params": params}, images, ids, mask, cache_p,
                 method=FastVLM.prefill,
             )
-            return jnp.argmax(last_logits, axis=-1).astype(jnp.int32), cache_p
+            return sample_tokens(last_logits, key, temp, top_p_), cache_p
 
         def insert(cache, cache_p, slots):
             # slots: (bp,) int32 slot index per admitted row (trash slot for
@@ -133,18 +144,23 @@ class GenerationServer:
                 )
             return cache
 
-        def decode(params, tokens, cache):
+        def decode(params, tokens, cache, key):
             logits, cache = model.apply(
                 {"params": params}, tokens[:, None], cache,
                 method=FastVLM.decode_step,
             )
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+            return sample_tokens(logits, key, temp, top_p_), cache
 
         self._prefill = jax.jit(prefill_batched)
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode = jax.jit(decode, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
+
+    def _next_key(self):
+        """Fresh PRNG key per sampling program (deterministic stream)."""
+        self._sample_counter += 1
+        return jax.random.fold_in(self._base_key, self._sample_counter)
 
     def has_free_slot(self) -> bool:
         return self._free_slot_count() > 0
@@ -217,6 +233,7 @@ class GenerationServer:
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(ids),
             jnp.asarray(mask),
+            self._next_key(),
         )
         self.cache = self._insert(self.cache, cache_p, jnp.asarray(slots))
         first_host = np.asarray(first_tokens)
@@ -251,7 +268,9 @@ class GenerationServer:
         self.flush()
         if any(s.active for s in self._slots):
             tokens = jnp.asarray(self._pending_token)
-            next_tokens, self.cache = self._decode(self.params, tokens, self.cache)
+            next_tokens, self.cache = self._decode(
+                self.params, tokens, self.cache, self._next_key()
+            )
             next_host = np.asarray(next_tokens)
 
             for i, slot in enumerate(self._slots):

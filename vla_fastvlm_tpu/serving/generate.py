@@ -28,7 +28,11 @@ def build_cache(cfg: FastVLMConfig, batch: int, prompt_len: int, max_new_tokens:
     return init_kv_cache(cfg.text, batch, max_len)
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("max_new_tokens", "temperature"))
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("max_new_tokens", "temperature", "top_p"),
+)
 def generate(
     model: FastVLM,
     params,
@@ -39,6 +43,7 @@ def generate(
     max_new_tokens: int = 32,
     eos_token_id: int = 2,
     temperature: float = 0.0,
+    top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Greedy (or temperature) decoding. Returns (B, max_new_tokens) ids,
@@ -58,10 +63,10 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    from .sampling import sample_tokens
+
     def sample(logits, key):
-        if temperature > 0.0:
-            return jax.random.categorical(key, logits / temperature, axis=-1)
-        return jnp.argmax(logits, axis=-1)
+        return sample_tokens(logits, key, temperature, top_p)
 
     rng, key0 = jax.random.split(rng)
     token0 = sample(last_logits, key0).astype(jnp.int32)  # (B,)

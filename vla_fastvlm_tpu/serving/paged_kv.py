@@ -139,6 +139,9 @@ class PagedGenerationServer:
         page_size: int = 16,
         num_pages: Optional[int] = None,
         mesh=None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -156,6 +159,10 @@ class PagedGenerationServer:
         self.prompt_len = prompt_len
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._sample_counter = 0
 
         cfg = model.cfg
         logical = cfg.num_image_tokens + prompt_len + max_new_tokens
@@ -193,7 +200,11 @@ class PagedGenerationServer:
         page = page_size
         pages_per_slot = self.pool.pages_per_slot
 
-        def prefill_one(params, images, ids, mask):
+        from .sampling import sample_tokens
+
+        temp, top_p_ = self.temperature, self.top_p
+
+        def prefill_one(params, images, ids, mask, key):
             """Batch-1 prefill -> (next_token, k, v) with k/v (L, T, K, D)."""
             cache = {
                 "k": jnp.zeros((n_layers, 1, self._max_len, kv_heads, head_dim),
@@ -207,7 +218,7 @@ class PagedGenerationServer:
                 {"params": params}, images, ids, mask, cache,
                 method=FastVLM.prefill,
             )
-            token = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)[0]
+            token = sample_tokens(last_logits, key, temp, top_p_)[0]
             # cache["mask"] marks VALID positions (image + real text tokens;
             # prompt pad slots stay false) — the host mirrors it per slot so
             # gathered decode windows mask pads exactly like the dense path
@@ -222,7 +233,8 @@ class PagedGenerationServer:
             pool_v = pool_v.at[:, pages].set(v.astype(pool_v.dtype))
             return pool_k, pool_v
 
-        def decode_tick(params, pool_k, pool_v, tables, masks, lengths, tokens):
+        def decode_tick(params, pool_k, pool_v, tables, masks, lengths, tokens,
+                        key):
             """One decode step across all slots against gathered windows.
 
             tables: (B, pages_per_slot) int32; masks: (B, max_len) valid-slot
@@ -246,7 +258,7 @@ class PagedGenerationServer:
                 {"params": params}, tokens[:, None], cache,
                 method=FastVLM.decode_step,
             )
-            next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            next_tokens = sample_tokens(logits, key, temp, top_p_)
             # Writeback: the decode wrote each slot's new K/V at slot index
             # ``lengths[b]`` of the logical window; scatter that one position
             # into its page.
@@ -274,6 +286,11 @@ class PagedGenerationServer:
         self._decode = jax.jit(decode_tick, donate_argnums=(1, 2))
 
     # ------------------------------------------------------------------
+
+    def _next_key(self):
+        """Fresh PRNG key per sampling program (deterministic stream)."""
+        self._sample_counter += 1
+        return jax.random.fold_in(self._base_key, self._sample_counter)
 
     def has_free_slot(self) -> bool:
         return any(not s.active for s in self._slots)
@@ -310,6 +327,7 @@ class PagedGenerationServer:
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(ids),
             jnp.asarray(mask),
+            self._next_key(),
         )
         self._slot_mask[slot_idx] = np.asarray(seq_mask)
         pages = jnp.asarray(self.pool.page_table[slot_idx])
@@ -369,6 +387,7 @@ class PagedGenerationServer:
                 jnp.asarray(masks),
                 jnp.asarray(lengths),
                 jnp.asarray(self._pending_token),
+                self._next_key(),
             )
             next_host = np.asarray(next_tokens)
             for i, slot in enumerate(self._slots):

@@ -114,7 +114,7 @@ class ShardedPolicyRuntime:
 @partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("max_new_tokens", "temperature", "eos_token_id"),
+    static_argnames=("max_new_tokens", "temperature", "top_p", "eos_token_id"),
     # The caller-provided cache is consumed: donating it lets XLA alias the
     # (L, B, S, K, D) buffers instead of allocating a second cache-sized
     # block for the scan carry (ROADMAP: donated serving buffers).
@@ -131,6 +131,7 @@ def _generate_with_cache(
     max_new_tokens: int,
     eos_token_id: int,
     temperature: float,
+    top_p: float,
     rng,
 ):
     """Prefill + scanned decode against a caller-provided (placed) cache."""
@@ -139,10 +140,10 @@ def _generate_with_cache(
         method=FastVLM.prefill,
     )
 
+    from .sampling import sample_tokens
+
     def sample(logits, key):
-        if temperature > 0.0:
-            return jax.random.categorical(key, logits / temperature, axis=-1)
-        return jnp.argmax(logits, axis=-1)
+        return sample_tokens(logits, key, temperature, top_p)
 
     rng, key0 = jax.random.split(rng)
     token0 = sample(last_logits, key0).astype(jnp.int32)
@@ -175,6 +176,7 @@ def sharded_generate(
     max_new_tokens: int = 32,
     eos_token_id: int = 2,
     temperature: float = 0.0,
+    top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
     params_are_placed: bool = False,
 ) -> jnp.ndarray:
@@ -209,6 +211,7 @@ def sharded_generate(
         max_new_tokens=max_new_tokens,
         eos_token_id=eos_token_id,
         temperature=temperature,
+        top_p=top_p,
         rng=rng if rng is not None else jax.random.PRNGKey(0),
     )
 
