@@ -98,6 +98,14 @@ def main() -> None:
             f"  MFU {mfu:.0%}: {total:7.1f} actions/sec total = "
             f"{total / 8:5.1f} actions/sec/chip"
         )
+    # Measured single-chip 7B anchor (scripts/bench_7b_serving.py,
+    # BASELINE.md): int8 prefill sustained ~49% of bf16 peak live on the
+    # chip, which grounds the 30% row above as conservative for the
+    # MXU-bound decoder share of the step.
+    print(
+        "Measured anchor: 7B int8 prefill ran at ~49% of peak on one chip "
+        "(110.8 ms for 16x48 tokens); decode 667 tokens/sec/chip."
+    )
 
 
 if __name__ == "__main__":
