@@ -82,7 +82,10 @@ def main(args: BenchArgs) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from vla_fastvlm_tpu.device import enable_compilation_cache
     from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLMWithExpert
+
+    enable_compilation_cache()
 
     config = FastVLAConfig(
         vlm_model_name=args.model_id,

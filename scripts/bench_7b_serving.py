@@ -76,7 +76,10 @@ def main(args: Args) -> None:
     import jax
     import jax.numpy as jnp
 
+    from vla_fastvlm_tpu.device import enable_compilation_cache
     from vla_fastvlm_tpu.io.quantize import count_quantized
+
+    enable_compilation_cache()
     from vla_fastvlm_tpu.models.qwen2 import (
         Qwen2ForCausalLM,
         init_kv_cache,

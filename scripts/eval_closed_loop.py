@@ -144,6 +144,9 @@ def main(args: ClosedLoopArgs) -> None:
 
         jax.config.update("jax_platforms", args.device)
     configure_logging()
+    from vla_fastvlm_tpu.device import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.checkpoint_dir:
         policy, _device = load_policy_from_checkpoint(args.checkpoint_dir)

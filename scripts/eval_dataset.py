@@ -89,6 +89,9 @@ def main(args: EvalArgs) -> None:
 
         jax.config.update("jax_platforms", args.device)
     configure_logging()
+    from vla_fastvlm_tpu.device import enable_compilation_cache
+
+    enable_compilation_cache()
     policy, device = load_policy_from_checkpoint(args.checkpoint_dir)
 
     dataset, resolved_split = _build_dataset(args)

@@ -56,6 +56,9 @@ def main(args: GenerateArgs) -> None:
 
         jax.config.update("jax_platforms", args.device)
     configure_logging()
+    from vla_fastvlm_tpu.device import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

@@ -72,6 +72,9 @@ def main(args: ServeArgs) -> None:
 
         jax.config.update("jax_platforms", args.device)
     configure_logging()
+    from vla_fastvlm_tpu.device import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
 

@@ -98,6 +98,9 @@ def main(args: TrainArgs) -> None:
 
         jax.config.update("jax_platforms", args.device)
     configure_logging()
+    from vla_fastvlm_tpu.device import enable_compilation_cache
+
+    enable_compilation_cache()
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
 
     policy_config = FastVLAConfig(

@@ -138,3 +138,25 @@ class TestArgSurfaces:
         args = eval_script.EvalArgs()
         for name, value in ref_defaults.items():
             assert getattr(args, name) == value, name
+
+
+class TestCompilationCache:
+    def test_enable_creates_dir_and_sets_config(self, tmp_path, monkeypatch):
+        import jax
+
+        from vla_fastvlm_tpu.device import enable_compilation_cache
+
+        target = str(tmp_path / "xla_cache")
+        monkeypatch.setenv("FASTVLM_COMPILATION_CACHE", target)
+        out = enable_compilation_cache()
+        assert out == target
+        import os
+
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+
+    def test_opt_out(self, monkeypatch):
+        from vla_fastvlm_tpu.device import enable_compilation_cache
+
+        monkeypatch.setenv("FASTVLM_COMPILATION_CACHE", "off")
+        assert enable_compilation_cache() is None
