@@ -47,6 +47,8 @@ class ServeArgs:
     tp: int = 1
     # "int8": weight-only quantized decoder kernels (io/quantize.py).
     quantization: str = "none"
+    # "int8": int8 KV cache storage (dense server only; 2x slot capacity).
+    kv_cache_quantization: str = "none"
     # Sampling (0.0 = greedy); top_p < 1 applies nucleus filtering.
     temperature: float = 0.0
     top_p: float = 1.0
@@ -92,6 +94,7 @@ def main(args: ServeArgs) -> None:
             dtype=args.dtype,
             param_dtype=args.dtype,
             quantization=args.quantization,
+            kv_cache_quantization=args.kv_cache_quantization,
             seed=args.seed,
         )
     )

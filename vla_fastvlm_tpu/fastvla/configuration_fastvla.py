@@ -53,6 +53,8 @@ class FastVLAConfig:
     # Weight-only int8 decoder kernels for serving ("none" | "int8"):
     # halves decode weight-HBM traffic (ops/quant.py). Inference-only.
     quantization: str = "none"
+    # int8 KV cache storage: halves persistent cache HBM (dense serving).
+    kv_cache_quantization: str = "none"
     train_backbone: bool = False
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation memory when training the backbone.
@@ -84,6 +86,7 @@ class FastVLAConfig:
             vision_block_impl=self.vision_block_impl,
             fused_projections=self.fused_projections,
             quantization=self.quantization,
+            kv_cache_quantization=self.kv_cache_quantization,
             train_backbone=self.train_backbone,
             gradient_checkpointing=self.gradient_checkpointing,
             num_cameras=self.num_cameras,

@@ -99,6 +99,9 @@ class FastVLMBackboneConfig:
     # quantized after load (io/quantize.py), halving decode weight-HBM
     # traffic. Inference-only — incompatible with train_backbone.
     quantization: str = "none"
+    # KV cache storage ("none" | "int8"): int8 halves persistent cache HBM
+    # (2x slots/context per budget); dense serving paths only.
+    kv_cache_quantization: str = "none"
     # jax.checkpoint the decoder blocks (memory for FLOPs; only matters when
     # the backbone itself trains).
     gradient_checkpointing: bool = False
@@ -160,6 +163,7 @@ class FastVLMBackbone:
                 remat=cfg.gradient_checkpointing,
                 fused_projections=cfg.fused_projections,
                 quantization=cfg.quantization,
+                kv_cache_quantization=cfg.kv_cache_quantization,
             ),
             vision=self.model_config.vision.replace(
                 block_impl=cfg.vision_block_impl,

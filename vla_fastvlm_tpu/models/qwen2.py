@@ -64,6 +64,10 @@ class Qwen2Config:
     # always use float params. No reference equivalent (the reference serves
     # eager torch fp32/bf16) — TPU-native extension, flag-gated.
     quantization: str = "none"
+    # KV cache storage ("none" | "int8"): int8 halves persistent cache HBM
+    # (per-position-per-head scales; quantize at write, dequantize at read).
+    # Orthogonal to weight quantization; serving-only like it.
+    kv_cache_quantization: str = "none"
 
     @property
     def resolved_head_dim(self) -> int:
@@ -111,6 +115,13 @@ def init_kv_cache(
     """Functional KV cache: stacked per-layer key/value buffers.
 
     Layout (L, B, S, K, D) so the scanned decoder consumes axis 0 directly.
+
+    With ``cfg.kv_cache_quantization == "int8"`` the K/V buffers are stored
+    int8 with per-(position, kv-head) symmetric scales ``k_scale``/``v_scale``
+    (L, B, S, K) — halving persistent cache HBM (2x the slots or context at
+    the same budget). Values are quantized at write and dequantized at read
+    inside the attention (``ops/quant.quantize_kv``/``dequantize_kv``);
+    accuracy bounds are pinned in ``tests/test_kv_cache_quant.py``.
     """
     dtype = dtype or cfg.dtype
     shape = (
@@ -120,7 +131,7 @@ def init_kv_cache(
         cfg.num_key_value_heads,
         cfg.resolved_head_dim,
     )
-    return {
+    cache = {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "mask": jnp.zeros((batch_size, max_len), jnp.bool_),
@@ -129,6 +140,16 @@ def init_kv_cache(
         # what continuous batching needs (slots prefill/finish independently).
         "index": jnp.zeros((batch_size,), jnp.int32),
     }
+    if cfg.kv_cache_quantization == "int8":
+        cache["k"] = cache["k"].astype(jnp.int8)
+        cache["v"] = cache["v"].astype(jnp.int8)
+        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    elif cfg.kv_cache_quantization != "none":
+        raise ValueError(
+            f"unknown kv_cache_quantization {cfg.kv_cache_quantization!r}"
+        )
+    return cache
 
 
 class Qwen2Attention(nn.Module):
@@ -137,7 +158,7 @@ class Qwen2Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, kv_mask, cos, sin, cache_k, cache_v,
-                 cache_index):
+                 cache_k_scale, cache_v_scale, cache_index):
         cfg = self.cfg
         b, t, _ = x.shape
         n, k_heads, d = (
@@ -184,11 +205,32 @@ class Qwen2Attention(nn.Module):
                     buf, new, (idx, 0, 0)
                 )
             )
-            k = update_row(cache_k, k.astype(cache_k.dtype), cache_index)
-            v = update_row(cache_v, v.astype(cache_v.dtype), cache_index)
-            new_cache = (k, v)
+            if cache_k.dtype == jnp.int8:
+                # int8 cache: quantize the new tokens' K/V at write (per
+                # position x kv head scales), dequantize the whole window at
+                # read — the convert/scale fuses into the attention dots.
+                from ..ops.quant import dequantize_kv, quantize_kv
+
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                cache_k = update_row(cache_k, k_q, cache_index)
+                cache_v = update_row(cache_v, v_q, cache_index)
+                scale_row = jax.vmap(
+                    lambda buf, new, idx: jax.lax.dynamic_update_slice(
+                        buf, new, (idx, 0)
+                    )
+                )
+                cache_k_scale = scale_row(cache_k_scale, k_s, cache_index)
+                cache_v_scale = scale_row(cache_v_scale, v_s, cache_index)
+                k = dequantize_kv(cache_k, cache_k_scale, q.dtype)
+                v = dequantize_kv(cache_v, cache_v_scale, q.dtype)
+                new_cache = (cache_k, cache_v, cache_k_scale, cache_v_scale)
+            else:
+                k = update_row(cache_k, k.astype(cache_k.dtype), cache_index)
+                v = update_row(cache_v, v.astype(cache_v.dtype), cache_index)
+                new_cache = (k, v, None, None)
         else:
-            new_cache = (None, None)
+            new_cache = (None, None, None, None)
 
         out = attention(
             q,
@@ -255,12 +297,13 @@ class Qwen2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, kv_mask, cos, sin, cache_k, cache_v,
-                 cache_index):
+                 cache_k_scale, cache_v_scale, cache_index):
         cfg = self.cfg
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
                     name="input_layernorm")(x)
         attn_out, new_cache = Qwen2Attention(cfg, self.causal, name="self_attn")(
-            h, bias, kv_mask, cos, sin, cache_k, cache_v, cache_index
+            h, bias, kv_mask, cos, sin, cache_k, cache_v,
+            cache_k_scale, cache_v_scale, cache_index
         )
         x = x + attn_out
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
@@ -358,6 +401,8 @@ class Qwen2Model(nn.Module):
             )
             attn_kv_mask = None
             cache_k, cache_v, cache_index = cache["k"], cache["v"], cache["index"]
+            cache_ks = cache.get("k_scale")
+            cache_vs = cache.get("v_scale")
         else:
             # Prefill: structured mask (key padding + causal-by-position) ->
             # eligible for the Pallas flash kernel on TPU.
@@ -365,6 +410,7 @@ class Qwen2Model(nn.Module):
             bias = None
             attn_kv_mask = kv_mask
             cache_k = cache_v = cache_index = None
+            cache_ks = cache_vs = None
 
         block_cls = Qwen2Block
         if cfg.remat:
@@ -376,27 +422,38 @@ class Qwen2Model(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                         nn.broadcast, 0, 0, nn.broadcast),
+                         nn.broadcast, 0, 0, 0, 0, nn.broadcast),
                 out_axes=0,
                 length=cfg.num_hidden_layers,
             )
             x, stacked_cache = scanned(cfg, causal, name="layers")(
                 x, bias, attn_kv_mask, cos, sin, cache_k, cache_v,
-                cache_index
+                cache_ks, cache_vs, cache_index
             )
-            new_k, new_v = stacked_cache
+            new_k, new_v, new_kscale, new_vscale = stacked_cache
         else:
-            new_ks, new_vs = [], []
+            new_ks, new_vs, new_kss, new_vss = [], [], [], []
             for i in range(cfg.num_hidden_layers):
                 ck = cache_k[i] if cache_k is not None else None
                 cv = cache_v[i] if cache_v is not None else None
-                x, (nk, nv) = block_cls(cfg, causal, name=f"layers_{i}")(
-                    x, bias, attn_kv_mask, cos, sin, ck, cv, cache_index
+                cks = cache_ks[i] if cache_ks is not None else None
+                cvs = cache_vs[i] if cache_vs is not None else None
+                x, (nk, nv, nks, nvs) = block_cls(cfg, causal, name=f"layers_{i}")(
+                    x, bias, attn_kv_mask, cos, sin, ck, cv, cks, cvs,
+                    cache_index
                 )
                 new_ks.append(nk)
                 new_vs.append(nv)
+                new_kss.append(nks)
+                new_vss.append(nvs)
             new_k = jnp.stack(new_ks) if new_ks and new_ks[0] is not None else None
             new_v = jnp.stack(new_vs) if new_vs and new_vs[0] is not None else None
+            new_kscale = (
+                jnp.stack(new_kss) if new_kss and new_kss[0] is not None else None
+            )
+            new_vscale = (
+                jnp.stack(new_vss) if new_vss and new_vss[0] is not None else None
+            )
 
         x = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype, name="norm")(x)
 
@@ -408,6 +465,9 @@ class Qwen2Model(nn.Module):
                 "mask": kv_mask.astype(jnp.bool_),
                 "index": cache["index"] + t,
             }
+            if new_kscale is not None:
+                new_cache["k_scale"] = new_kscale
+                new_cache["v_scale"] = new_vscale
 
         logits = embed.attend(x) if compute_tied_logits else None
         return x, new_cache, logits

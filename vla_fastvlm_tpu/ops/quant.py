@@ -74,6 +74,25 @@ def effective_kernel(leaf: dict, dtype) -> jnp.ndarray:
     return kernel.astype(dtype)
 
 
+def quantize_kv(x: jnp.ndarray) -> tuple:
+    """(..., D) float K/V values -> (int8 values, (...,) f32 scales).
+
+    Symmetric absmax over the head dim: one scale per (position, kv head),
+    the granularity KV magnitudes actually vary at (RoPE rotates within the
+    head; RMSNorm bounds the projections).
+    """
+    x32 = jnp.asarray(x, jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / INT8_MAX, 1.0)
+    q = jnp.clip(jnp.round(x32 / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of ``quantize_kv``: int8 (..., D) + (...,) scales -> dtype."""
+    return q.astype(dtype) * scale[..., None].astype(dtype)
+
+
 def fused_dense_apply(x: jnp.ndarray, leaves: list, dtype) -> jnp.ndarray:
     """One matmul over column-concatenated projection kernels.
 

@@ -74,12 +74,13 @@ def _run_local_layers(cfg: Qwen2Config, layer_params, x, kv_mask, cos, sin,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                 nn.broadcast, 0, 0, nn.broadcast),
+                 nn.broadcast, 0, 0, 0, 0, nn.broadcast),
         out_axes=0,
         length=local_layers,
     )
     y, _ = scanned(cfg, True).apply(
-        {"params": layer_params}, x, None, kv_mask, cos, sin, None, None, None
+        {"params": layer_params}, x, None, kv_mask, cos, sin,
+        None, None, None, None, None
     )
     return y
 

@@ -113,6 +113,10 @@ def cache_shardings(mesh: Mesh, cache: Dict[str, Any]) -> Dict[str, Any]:
     specs = {
         "k": P(None, DATA_AXIS, None, MODEL_AXIS, None),
         "v": P(None, DATA_AXIS, None, MODEL_AXIS, None),
+        # int8-cache scales (L, B, S, K): follow their buffer's batch/head
+        # split so quantize-at-write and dequantize-at-read stay chip-local.
+        "k_scale": P(None, DATA_AXIS, None, MODEL_AXIS),
+        "v_scale": P(None, DATA_AXIS, None, MODEL_AXIS),
         "mask": P(DATA_AXIS, None),
         "index": P(DATA_AXIS),
     }

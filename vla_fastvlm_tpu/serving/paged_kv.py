@@ -165,6 +165,11 @@ class PagedGenerationServer:
         self._sample_counter = 0
 
         cfg = model.cfg
+        if cfg.text.kv_cache_quantization != "none":
+            raise NotImplementedError(
+                "paged KV does not support kv_cache_quantization yet; use "
+                "the dense GenerationServer for int8 KV"
+            )
         logical = cfg.num_image_tokens + prompt_len + max_new_tokens
         # Round the logical window up to whole pages.
         page_count = -(-logical // page_size)
