@@ -111,33 +111,13 @@ def main(args: Args) -> None:
           f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     if args.quantization == "int8":
-        # Host-side (pure numpy) quantization — same math as
-        # ops/quant.quantize_kernel, kept off jnp so a TPU-only backend never
-        # sees the float weights (28 GB f32 would not fit the chip).
-        from vla_fastvlm_tpu.io.quantize import DEFAULT_QUANT_NAMES
-
-        def np_quantize(node, name=None):
-            if not isinstance(node, dict):
-                return node
-            kernel = node.get("kernel")
-            if (
-                name in DEFAULT_QUANT_NAMES
-                and kernel is not None
-                and getattr(kernel, "ndim", 0) >= 2
-                and jnp.issubdtype(kernel.dtype, jnp.floating)
-            ):
-                k32 = np.asarray(kernel, np.float32)
-                absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
-                scale = np.where(absmax > 0, absmax / 127.0, 1.0)
-                q = np.clip(np.round(k32 / scale), -127, 127).astype(np.int8)
-                out = dict(node)
-                out["kernel"] = q
-                out["scale"] = scale.astype(np.float32)
-                return out
-            return {key: np_quantize(value, key) for key, value in node.items()}
+        # Host-side quantization: the params are numpy, so quantize_params
+        # takes ops/quant's pure-numpy path — no device staging (the float
+        # 7B tree would not fit the chip).
+        from vla_fastvlm_tpu.io.quantize import quantize_params
 
         t0 = time.perf_counter()
-        params = np_quantize(params)
+        params = quantize_params(params)
         print(f"[7b-bench] quantized {count_quantized(params)} kernel stacks "
               f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

@@ -170,7 +170,8 @@ def main(args: ServeArgs) -> None:
     summary = {
         "requests": args.num_requests,
         "slots": args.num_slots,
-        "prefill_batch": args.prefill_batch,
+        # the paged server admits/prefills one request at a time
+        "prefill_batch": 1 if args.paged else args.prefill_batch,
         "total_new_tokens": total_tokens,
         "tokens_per_sec": round(total_tokens / elapsed, 2),
         "p50_tick_ms": round(float(np.median(tick_times)) * 1e3, 2),

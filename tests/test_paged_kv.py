@@ -130,6 +130,36 @@ class TestPagedServer:
         for tokens in outputs.values():
             assert len(tokens) == new
 
+    def test_concurrent_oversubscription_defers_not_wedges(self, vlm):
+        """Regression (review finding): a pool too small for two concurrent
+        max-length decodes must DEFER the second admission (has_free_slot
+        false / reserve raises), never raise mid-step and wedge."""
+        cfg, model, params = vlm
+        prompt_len, new = 8, 4
+        logical = cfg.num_image_tokens + prompt_len + new
+        pages_per_req = -(-logical // 4)
+        server = PagedGenerationServer(
+            model, params, num_slots=2, prompt_len=prompt_len,
+            max_new_tokens=new, eos_token_id=-1, page_size=4,
+            num_pages=pages_per_req + 2,  # < 2 concurrent worst cases
+        )
+        reqs = _requests(2, prompt_len, cfg.image_size, seed=7)
+        outputs = {}
+        server.submit(*reqs[0])
+        # Slot 1 is physically free but the pool cannot cover a second
+        # worst case -> admission must be refused, not wedged.
+        assert not server.has_free_slot()
+        with pytest.raises(RuntimeError, match="cannot admit"):
+            server.submit(*reqs[1])
+        # Draining the first request frees its pages; then the second runs.
+        while not server.has_free_slot():
+            outputs.update(server.step())
+        server.submit(*reqs[1])
+        outputs.update(server.run_to_completion())
+        assert len(outputs) == 2
+        for tokens in outputs.values():
+            assert len(tokens) == new
+
     def test_tp_mesh_matches_single_device(self, vlm):
         """Paged serving on a 2-way TP mesh == unsharded paged serving."""
         from vla_fastvlm_tpu.parallel import make_mesh

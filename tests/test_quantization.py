@@ -76,6 +76,22 @@ class TestQuantizeKernel:
             np.asarray(fused), np.asarray(sep), rtol=1e-5, atol=1e-5
         )
 
+    def test_numpy_path_matches_jnp(self, rng):
+        """Host-side (numpy) quantization is bit-identical to the jnp path —
+        scripts/bench_7b_serving.py relies on it to quantize the 7B tree
+        without staging floats through the device."""
+        import ml_dtypes
+
+        w = rng.standard_normal((64, 48)).astype(np.float32) * 0.1
+        q_np = quantize_kernel(w.astype(ml_dtypes.bfloat16))
+        q_j = quantize_kernel(jnp.asarray(w, jnp.bfloat16))
+        assert isinstance(q_np["kernel"], np.ndarray)
+        assert q_np["kernel"].dtype == np.int8
+        np.testing.assert_array_equal(q_np["kernel"], np.asarray(q_j["kernel"]))
+        np.testing.assert_allclose(
+            q_np["scale"], np.asarray(q_j["scale"]), rtol=1e-6
+        )
+
     def test_fused_apply_rejects_mixed_groups(self, rng):
         w1 = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
         ql = quantize_kernel(w1)
@@ -224,6 +240,42 @@ class TestQuantizedFastVLM:
         np.testing.assert_array_equal(
             ref_last.argmax(-1), got_last.argmax(-1)
         )
+
+
+class TestQuantizedUntiedFastVLM:
+    def test_untied_vlm_logits_track_float(self, rng):
+        """Regression (review finding): FastVLM with untied embeddings (the
+        7B configuration) must apply its quantized lm_head through the quant
+        helper — nn.Dense silently drops the scale and emits garbage."""
+        cfg = fastvlm_tiny()
+        cfg = cfg.replace(text=cfg.text.replace(tie_word_embeddings=False))
+        model = FastVLM(cfg)
+        b, t = 2, 5
+        ids = jnp.asarray(rng.integers(3, 100, (b, t)), jnp.int32)
+        mask = jnp.ones((b, t), jnp.int32)
+        imgs = jnp.asarray(rng.random((b, 3, 64, 64), dtype=np.float32))
+
+        def prefill_logits(c, p):
+            cache = init_kv_cache(c.text, b, c.num_image_tokens + t + 1)
+            last, _, _, _, _ = FastVLM(c).apply(
+                {"params": p}, imgs, ids, mask, cache, method=FastVLM.prefill
+            )
+            return np.asarray(last)
+
+        # init through prefill: the untied lm_head only exists on that path
+        params = model.init(
+            jax.random.PRNGKey(0), imgs, ids, mask,
+            init_kv_cache(cfg.text, b, cfg.num_image_tokens + t + 1),
+            method=FastVLM.prefill,
+        )["params"]
+        ref = prefill_logits(cfg, params)
+        qcfg = cfg.replace(text=cfg.text.replace(quantization="int8"))
+        qparams = quantize_params(params)
+        assert qparams["lm_head"]["kernel"].dtype == jnp.int8
+        got = prefill_logits(qcfg, qparams)
+        scale = np.abs(ref).max()
+        assert np.max(np.abs(got - ref)) < 0.05 * scale
+        np.testing.assert_array_equal(ref.argmax(-1), got.argmax(-1))
 
 
 class TestQuantizedPolicy:

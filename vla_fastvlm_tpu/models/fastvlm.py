@@ -202,6 +202,15 @@ class FastVLM(nn.Module):
     def _logits(self, hidden: jnp.ndarray, tied_logits) -> jnp.ndarray:
         if self.cfg.text.tie_word_embeddings:
             return tied_logits
+        if self.cfg.text.quantization != "none" and not self.is_initializing():
+            # Quantized untied head (io/quantize.py puts "lm_head" in
+            # DEFAULT_QUANT_NAMES): nn.Dense would silently matmul the raw
+            # int8 codes and drop the scale — apply via the quant helper.
+            from ..ops.quant import dense_apply
+
+            return dense_apply(
+                hidden, self.variables["params"]["lm_head"], self.cfg.text.dtype
+            )
         return self.lm_head(hidden)
 
     def prefill(

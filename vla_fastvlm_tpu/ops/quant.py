@@ -23,29 +23,35 @@ pinned in ``tests/test_quantization.py``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 INT8_MAX = 127.0
 
 
-def quantize_kernel(kernel: jnp.ndarray) -> dict:
+def quantize_kernel(kernel) -> dict:
     """Float kernel (..., K, N) -> {"kernel": int8, "scale": f32 (..., 1, N)}.
 
     Symmetric absmax per output column (last axis), reduced over the input
     axis (-2) only, so scan-stacked kernels (L, K, N) get per-layer
     per-column scales.
+
+    numpy inputs take a pure-numpy path (same math, no device staging) so
+    huge trees can quantize host-side before transfer — on a TPU-only
+    backend, staging the float 7B tree through jnp would not fit the chip.
     """
     if kernel.ndim < 2:
         raise ValueError(f"expected a matmul kernel (..., K, N), got {kernel.shape}")
+    if isinstance(kernel, np.ndarray):
+        k32 = np.asarray(kernel, np.float32)
+        absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
+        scale = np.where(absmax > 0, absmax / INT8_MAX, 1.0)
+        q = np.clip(np.round(k32 / scale), -INT8_MAX, INT8_MAX).astype(np.int8)
+        return {"kernel": q, "scale": scale.astype(np.float32)}
     k32 = jnp.asarray(kernel, jnp.float32)
     absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
     scale = jnp.where(absmax > 0, absmax / INT8_MAX, 1.0)
     q = jnp.clip(jnp.round(k32 / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     return {"kernel": q, "scale": scale.astype(jnp.float32)}
-
-
-def is_quantized(leaf: dict) -> bool:
-    kernel = leaf.get("kernel") if isinstance(leaf, dict) else None
-    return kernel is not None and kernel.dtype == jnp.int8
 
 
 def dense_apply(x: jnp.ndarray, leaf: dict, dtype) -> jnp.ndarray:
@@ -64,14 +70,6 @@ def dense_apply(x: jnp.ndarray, leaf: dict, dtype) -> jnp.ndarray:
     if bias is not None:
         y = y + bias.astype(dtype)
     return y
-
-
-def effective_kernel(leaf: dict, dtype) -> jnp.ndarray:
-    """Dequantized (or plainly cast) float kernel for fused concatenation."""
-    kernel = leaf["kernel"]
-    if kernel.dtype == jnp.int8:
-        return kernel.astype(dtype) * leaf["scale"].astype(dtype)
-    return kernel.astype(dtype)
 
 
 def quantize_kv(x: jnp.ndarray) -> tuple:

@@ -85,6 +85,20 @@ def _run_local_layers(cfg: Qwen2Config, layer_params, x, kv_mask, cos, sin,
     return y
 
 
+def _place_layers(layers, mesh: Mesh):
+    """Place the stacked layer params with the layer axis over ``pipe``.
+
+    ``device_put`` onto an identical sharding is a no-op, so already-placed
+    trees (e.g. via ``make_pipeline_train_step``'s ``place``) pass through.
+    """
+    return jax.device_put(
+        layers,
+        jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P(PIPE_AXIS)), layers
+        ),
+    )
+
+
 def pipeline_forward(
     model: Qwen2Model,
     params,
@@ -175,13 +189,7 @@ def pipeline_forward(
         in_specs=(layer_specs, P(), P(), P(), P()),
         out_specs=P(),
     )
-    layers_placed = jax.device_put(
-        params["layers"],
-        jax.tree_util.tree_map(
-            lambda _: NamedSharding(mesh, P(PIPE_AXIS)), params["layers"]
-        ),
-    )
-    y = pipelined(layers_placed, x_m, mask_m, cos_m, sin_m)
+    y = pipelined(_place_layers(params["layers"], mesh), x_m, mask_m, cos_m, sin_m)
     y = y.reshape((b, t) + y.shape[3:])
 
     from ..ops.norms import rms_norm
@@ -218,13 +226,7 @@ def make_pipeline_train_step(
         return loss_fn(hidden, targets)
 
     def place(params):
-        placed_layers = jax.device_put(
-            params["layers"],
-            jax.tree_util.tree_map(
-                lambda _: NamedSharding(mesh, P(PIPE_AXIS)), params["layers"]
-            ),
-        )
-        return {**params, "layers": placed_layers}
+        return {**params, "layers": _place_layers(params["layers"], mesh)}
 
     @jax.jit
     def step(params, opt_state, input_ids, attention_mask, targets):

@@ -90,16 +90,48 @@ class PagedKVPool:
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
         # Host page tables; 0 (trash) marks unallocated entries.
         self.page_table = np.zeros((num_slots, self.pages_per_slot), np.int32)
+        # Worst-case page reservations per slot (admission control): pages
+        # are still ALLOCATED lazily, but a slot is only admitted when its
+        # maximum possible growth is covered — so the mid-decode ``allocate``
+        # can never fail and the server can never wedge with all slots
+        # blocked on an exhausted free list (review finding). Memory reuse
+        # therefore comes from sequential recycling and early-EOS frees, not
+        # from overcommitting concurrent decodes.
+        self._reserved = np.zeros(num_slots, np.int64)
 
     @property
     def free_pages(self) -> int:
         return len(self._free)
 
+    def _outstanding(self) -> int:
+        held = np.count_nonzero(self.page_table, axis=1)
+        return int(np.maximum(self._reserved - held, 0).sum())
+
+    def can_reserve(self, tokens: int) -> bool:
+        return self.pages_needed(tokens) <= self.free_pages - self._outstanding()
+
+    def reserve(self, slot: int, tokens: int) -> None:
+        """Admission control: claim worst-case pages for ``slot``."""
+        need = self.pages_needed(tokens)
+        if need > self.pages_per_slot:
+            raise ValueError(
+                f"request needs {need} pages > pages_per_slot {self.pages_per_slot}"
+            )
+        if not self.can_reserve(tokens):
+            raise RuntimeError(
+                f"paged KV pool cannot admit a {need}-page request "
+                f"({self.free_pages} free, {self._outstanding()} reserved); "
+                "wait for active requests to finish"
+            )
+        self._reserved[slot] = need
+
     def pages_needed(self, tokens: int) -> int:
         return -(-tokens // self.page_size)
 
     def allocate(self, slot: int, tokens: int) -> None:
-        """Ensure ``slot`` has pages covering ``tokens`` logical positions."""
+        """Ensure ``slot`` has pages covering ``tokens`` logical positions.
+
+        Guaranteed to succeed up to the slot's reservation."""
         have = int(np.count_nonzero(self.page_table[slot]))
         need = self.pages_needed(tokens)
         if need > self.pages_per_slot:
@@ -117,6 +149,7 @@ class PagedKVPool:
             if page:
                 self._free.append(page)
         self.page_table[slot] = 0
+        self._reserved[slot] = 0
 
 
 class PagedGenerationServer:
@@ -176,7 +209,10 @@ class PagedGenerationServer:
         self._max_len = page_count * page_size
         if num_pages is None:
             # Default: enough for every slot at max length (memory parity
-            # with the dense server); callers shrink it to oversubscribe.
+            # with the dense server). Smaller pools are safe — admission is
+            # reservation-controlled (worst-case growth must fit before a
+            # request is admitted), so fewer pages bound CONCURRENCY while
+            # pages recycle across sequential requests and early EOS.
             num_pages = num_slots * page_count + 1
         self.pool = PagedKVPool(
             cfg.text, num_pages, page_size, num_slots, self._max_len
@@ -211,14 +247,9 @@ class PagedGenerationServer:
 
         def prefill_one(params, images, ids, mask, key):
             """Batch-1 prefill -> (next_token, k, v) with k/v (L, T, K, D)."""
-            cache = {
-                "k": jnp.zeros((n_layers, 1, self._max_len, kv_heads, head_dim),
-                               cfg.text.dtype),
-                "v": jnp.zeros((n_layers, 1, self._max_len, kv_heads, head_dim),
-                               cfg.text.dtype),
-                "mask": jnp.zeros((1, self._max_len), jnp.bool_),
-                "index": jnp.zeros((1,), jnp.int32),
-            }
+            from ..models.qwen2 import init_kv_cache
+
+            cache = init_kv_cache(cfg.text, 1, self._max_len)
             last_logits, _, cache, _, _ = model.apply(
                 {"params": params}, images, ids, mask, cache,
                 method=FastVLM.prefill,
@@ -298,7 +329,11 @@ class PagedGenerationServer:
         return jax.random.fold_in(self._base_key, self._sample_counter)
 
     def has_free_slot(self) -> bool:
-        return any(not s.active for s in self._slots)
+        """A slot is free AND the pool can cover a worst-case request."""
+        if not any(not s.active for s in self._slots):
+            return False
+        worst = self.model.cfg.num_image_tokens + self.prompt_len + self.max_new_tokens
+        return self.pool.can_reserve(worst)
 
     @property
     def num_active(self) -> int:
@@ -325,6 +360,9 @@ class PagedGenerationServer:
         # Logical prefill width: image tokens + padded prompt (the model
         # advances the cursor by the padded width; see models/fastvlm.py).
         prefill_len = self.model.cfg.num_image_tokens + self.prompt_len
+        # Worst-case reservation first (admission control — never wedge),
+        # then the prompt pages themselves.
+        self.pool.reserve(slot_idx, prefill_len + self.max_new_tokens)
         self.pool.allocate(slot_idx, prefill_len + 1)
 
         token, k, v, seq_mask = self._prefill(
