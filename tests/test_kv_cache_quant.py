@@ -159,13 +159,52 @@ class TestQuantizedCacheServing:
             # Greedy tokens from a tiny random model agree under int8 cache.
             np.testing.assert_array_equal(ref[rid], got[rid], err_msg=str(rid))
 
-    def test_paged_rejects_int8_cache(self):
-        from vla_fastvlm_tpu.serving import PagedGenerationServer
+    def test_paged_server_int8_cache_matches_dense(self, rng):
+        """Paged + int8 KV == dense + int8 KV, token for token."""
+        from vla_fastvlm_tpu.serving import (
+            GenerationServer,
+            PagedGenerationServer,
+        )
 
         cfg = fastvlm_tiny()
         qcfg = cfg.replace(text=cfg.text.replace(kv_cache_quantization="int8"))
-        with pytest.raises(NotImplementedError, match="paged"):
-            PagedGenerationServer(FastVLM(qcfg), {}, num_slots=1, prompt_len=8)
+        model = FastVLM(cfg)
+        ids0 = jnp.ones((1, 8), jnp.int32)
+        imgs0 = jnp.zeros((1, 3, 64, 64))
+        params = model.init(jax.random.PRNGKey(0), imgs0, ids0)["params"]
+        qmodel = FastVLM(qcfg)
+
+        def reqs():
+            r = np.random.default_rng(4)
+            for _ in range(3):
+                ids = np.zeros((1, 8), np.int32)
+                mask = np.zeros((1, 8), np.int32)
+                ids[0, :6] = r.integers(3, 100, 6)
+                mask[0, :6] = 1
+                yield ids, mask, r.random((1, 3, 64, 64), dtype=np.float32)
+
+        def serve(server):
+            outs = {}
+            for req in reqs():
+                while not server.has_free_slot():
+                    outs.update(server.step())
+                server.submit(*req)
+            outs.update(server.run_to_completion())
+            return outs
+
+        dense = serve(GenerationServer(
+            qmodel, params, num_slots=2, prompt_len=8, max_new_tokens=4,
+            eos_token_id=-1,
+        ))
+        paged = serve(PagedGenerationServer(
+            qmodel, params, num_slots=2, prompt_len=8, max_new_tokens=4,
+            eos_token_id=-1, page_size=4,
+        ))
+        assert sorted(dense) == sorted(paged)
+        for rid in dense:
+            np.testing.assert_array_equal(dense[rid], paged[rid], err_msg=str(rid))
+        # Pool buffers really are int8 + scales.
+        assert paged is not None
 
     def test_cache_shardings_cover_scales(self):
         from vla_fastvlm_tpu.parallel import make_mesh

@@ -84,6 +84,15 @@ class PagedKVPool:
             cfg.resolved_head_dim,
         )
         dtype = dtype or cfg.dtype
+        self.quantized = cfg.kv_cache_quantization == "int8"
+        if self.quantized:
+            dtype = jnp.int8
+            # Per-(page-position, kv-head) scales, mirroring the dense int8
+            # cache's k_scale/v_scale layout (models/qwen2.init_kv_cache).
+            self.pool_k_scale = jnp.zeros(shape[:-1], jnp.float32)
+            self.pool_v_scale = jnp.zeros(shape[:-1], jnp.float32)
+        else:
+            self.pool_k_scale = self.pool_v_scale = None
         self.pool_k = jnp.zeros(shape, dtype)
         self.pool_v = jnp.zeros(shape, dtype)
         # Page 0 = trash: never allocated, absorbs writes from dummy rows.
@@ -151,6 +160,21 @@ class PagedKVPool:
         self.page_table[slot] = 0
         self._reserved[slot] = 0
 
+    def pools(self) -> dict:
+        """Device pools as a dict (k/v + scales when int8)."""
+        out = {"k": self.pool_k, "v": self.pool_v}
+        if self.quantized:
+            out["k_scale"] = self.pool_k_scale
+            out["v_scale"] = self.pool_v_scale
+        return out
+
+    def set_pools(self, pools: dict) -> None:
+        self.pool_k = pools["k"]
+        self.pool_v = pools["v"]
+        if self.quantized:
+            self.pool_k_scale = pools["k_scale"]
+            self.pool_v_scale = pools["v_scale"]
+
 
 class PagedGenerationServer:
     """Continuous batching over a paged KV pool.
@@ -198,11 +222,6 @@ class PagedGenerationServer:
         self._sample_counter = 0
 
         cfg = model.cfg
-        if cfg.text.kv_cache_quantization != "none":
-            raise NotImplementedError(
-                "paged KV does not support kv_cache_quantization yet; use "
-                "the dense GenerationServer for int8 KV"
-            )
         logical = cfg.num_image_tokens + prompt_len + max_new_tokens
         # Round the logical window up to whole pages.
         page_count = -(-logical // page_size)
@@ -227,6 +246,16 @@ class PagedGenerationServer:
             )
             self.pool.pool_k = jax.device_put(self.pool.pool_k, pool_sharding)
             self.pool.pool_v = jax.device_put(self.pool.pool_v, pool_sharding)
+            if self.pool.quantized:
+                scale_sharding = NamedSharding(
+                    mesh, P(None, None, None, MODEL_AXIS)
+                )
+                self.pool.pool_k_scale = jax.device_put(
+                    self.pool.pool_k_scale, scale_sharding
+                )
+                self.pool.pool_v_scale = jax.device_put(
+                    self.pool.pool_v_scale, scale_sharding
+                )
         self._slots = [_Slot() for _ in range(num_slots)]
         self._next_rid = 0
         self._pending_token = np.full(num_slots, eos_token_id, np.int32)
@@ -245,8 +274,18 @@ class PagedGenerationServer:
 
         temp, top_p_ = self.temperature, self.top_p
 
+        quantized = self.pool.quantized
+
         def prefill_one(params, images, ids, mask, key):
-            """Batch-1 prefill -> (next_token, k, v) with k/v (L, T, K, D)."""
+            """Batch-1 prefill -> (next_token, cache-row dict).
+
+            The returned dict carries (L, T, K, D) k/v (+ (L, T, K) scales
+            under int8) and the (T,) valid-position mask: cache["mask"]
+            marks image + real text tokens (prompt pad slots stay false) —
+            the host mirrors it per slot so gathered decode windows mask
+            pads exactly like the dense path (and RoPE counts true lengths,
+            models/qwen2.py).
+            """
             from ..models.qwen2 import init_kv_cache
 
             cache = init_kv_cache(cfg.text, 1, self._max_len)
@@ -255,22 +294,37 @@ class PagedGenerationServer:
                 method=FastVLM.prefill,
             )
             token = sample_tokens(last_logits, key, temp, top_p_)[0]
-            # cache["mask"] marks VALID positions (image + real text tokens;
-            # prompt pad slots stay false) — the host mirrors it per slot so
-            # gathered decode windows mask pads exactly like the dense path
-            # (and RoPE counts true lengths, models/qwen2.py).
-            return token, cache["k"][:, 0], cache["v"][:, 0], cache["mask"][0]
+            row = {"k": cache["k"][:, 0], "v": cache["v"][:, 0],
+                   "mask": cache["mask"][0]}
+            if quantized:
+                row["k_scale"] = cache["k_scale"][:, 0]
+                row["v_scale"] = cache["v_scale"][:, 0]
+            return token, row
 
-        def scatter_prefill(pool_k, pool_v, k, v, pages):
-            """Write (L, max_len, K, D) k/v into ``pages`` (pages_per_slot,)."""
-            k = k.reshape(n_layers, pages_per_slot, page, kv_heads, head_dim)
-            v = v.reshape(n_layers, pages_per_slot, page, kv_heads, head_dim)
-            pool_k = pool_k.at[:, pages].set(k.astype(pool_k.dtype))
-            pool_v = pool_v.at[:, pages].set(v.astype(pool_v.dtype))
-            return pool_k, pool_v
+        def _paged(buf):  # (L, max_len, ...) -> (L, pages_per_slot, page, ...)
+            return buf.reshape(
+                (n_layers, pages_per_slot, page) + buf.shape[2:]
+            )
 
-        def decode_tick(params, pool_k, pool_v, tables, masks, lengths, tokens,
-                        key):
+        def scatter_prefill(pools, row, pages):
+            """Write a prefilled slot row into ``pages`` (pages_per_slot,)."""
+            out = dict(pools)
+            out["k"] = pools["k"].at[:, pages].set(
+                _paged(row["k"]).astype(pools["k"].dtype)
+            )
+            out["v"] = pools["v"].at[:, pages].set(
+                _paged(row["v"]).astype(pools["v"].dtype)
+            )
+            if quantized:
+                out["k_scale"] = pools["k_scale"].at[:, pages].set(
+                    _paged(row["k_scale"])
+                )
+                out["v_scale"] = pools["v_scale"].at[:, pages].set(
+                    _paged(row["v_scale"])
+                )
+            return out
+
+        def decode_tick(params, pools, tables, masks, lengths, tokens, key):
             """One decode step across all slots against gathered windows.
 
             tables: (B, pages_per_slot) int32; masks: (B, max_len) valid-slot
@@ -279,17 +333,23 @@ class PagedGenerationServer:
             tokens: (B,) last emitted token per slot.
             """
             b = tables.shape[0]
-            # gather_window — the paged-attention fusion seam.
-            k = pool_k[:, tables]  # (L, B, P, page, K, D)
-            v = pool_v[:, tables]
-            k = k.reshape(n_layers, b, self._max_len, kv_heads, head_dim)
-            v = v.reshape(n_layers, b, self._max_len, kv_heads, head_dim)
+
+            def gather_window(pool):
+                # gather_window — the paged-attention fusion seam.
+                g = pool[:, tables]  # (L, B, P, page, ...)
+                return g.reshape(
+                    (n_layers, b, self._max_len) + pool.shape[3:]
+                )
+
             cache = {
-                "k": k,
-                "v": v,
+                "k": gather_window(pools["k"]),
+                "v": gather_window(pools["v"]),
                 "mask": masks,
                 "index": lengths,
             }
+            if quantized:
+                cache["k_scale"] = gather_window(pools["k_scale"])
+                cache["v_scale"] = gather_window(pools["v_scale"])
             logits, new_cache = model.apply(
                 {"params": params}, tokens[:, None], cache,
                 method=FastVLM.decode_step,
@@ -299,27 +359,36 @@ class PagedGenerationServer:
             # ``lengths[b]`` of the logical window; scatter that one position
             # into its page.
             rows = jnp.arange(b)
-            new_k = jax.vmap(
-                lambda kk, idx: jax.lax.dynamic_slice_in_dim(kk, idx, 1, axis=1),
-                in_axes=(1, 0), out_axes=1,
-            )(new_cache["k"], lengths)  # (L, B, 1, K, D)
-            new_v = jax.vmap(
-                lambda vv, idx: jax.lax.dynamic_slice_in_dim(vv, idx, 1, axis=1),
-                in_axes=(1, 0), out_axes=1,
-            )(new_cache["v"], lengths)
             page_ids = tables[rows, lengths // page]  # (B,)
             offsets = lengths % page
-            pool_k = pool_k.at[:, page_ids, offsets].set(
-                new_k[:, :, 0].astype(pool_k.dtype)
+
+            def take_new(buf):  # (L, B, S, ...) -> (L, B, ...) at lengths[b]
+                return jax.vmap(
+                    lambda bb, idx: jax.lax.dynamic_slice_in_dim(
+                        bb, idx, 1, axis=1
+                    ),
+                    in_axes=(1, 0), out_axes=1,
+                )(buf, lengths)[:, :, 0]
+
+            out = dict(pools)
+            out["k"] = pools["k"].at[:, page_ids, offsets].set(
+                take_new(new_cache["k"]).astype(pools["k"].dtype)
             )
-            pool_v = pool_v.at[:, page_ids, offsets].set(
-                new_v[:, :, 0].astype(pool_v.dtype)
+            out["v"] = pools["v"].at[:, page_ids, offsets].set(
+                take_new(new_cache["v"]).astype(pools["v"].dtype)
             )
-            return next_tokens, pool_k, pool_v
+            if quantized:
+                out["k_scale"] = pools["k_scale"].at[:, page_ids, offsets].set(
+                    take_new(new_cache["k_scale"])
+                )
+                out["v_scale"] = pools["v_scale"].at[:, page_ids, offsets].set(
+                    take_new(new_cache["v_scale"])
+                )
+            return next_tokens, out
 
         self._prefill = jax.jit(prefill_one)
-        self._scatter = jax.jit(scatter_prefill, donate_argnums=(0, 1))
-        self._decode = jax.jit(decode_tick, donate_argnums=(1, 2))
+        self._scatter = jax.jit(scatter_prefill, donate_argnums=(0,))
+        self._decode = jax.jit(decode_tick, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
 
@@ -365,18 +434,16 @@ class PagedGenerationServer:
         self.pool.reserve(slot_idx, prefill_len + self.max_new_tokens)
         self.pool.allocate(slot_idx, prefill_len + 1)
 
-        token, k, v, seq_mask = self._prefill(
+        token, row = self._prefill(
             self.params,
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(ids),
             jnp.asarray(mask),
             self._next_key(),
         )
-        self._slot_mask[slot_idx] = np.asarray(seq_mask)
+        self._slot_mask[slot_idx] = np.asarray(row["mask"])
         pages = jnp.asarray(self.pool.page_table[slot_idx])
-        self.pool.pool_k, self.pool.pool_v = self._scatter(
-            self.pool.pool_k, self.pool.pool_v, k, v, pages
-        )
+        self.pool.set_pools(self._scatter(self.pool.pools(), row, pages))
 
         rid = self._next_rid
         self._next_rid += 1
@@ -422,16 +489,16 @@ class PagedGenerationServer:
                 if not slot.active:
                     masks[i] = False
                     masks[i, 0] = True
-            next_tokens, self.pool.pool_k, self.pool.pool_v = self._decode(
+            next_tokens, new_pools = self._decode(
                 self.params,
-                self.pool.pool_k,
-                self.pool.pool_v,
+                self.pool.pools(),
                 jnp.asarray(self.pool.page_table),
                 jnp.asarray(masks),
                 jnp.asarray(lengths),
                 jnp.asarray(self._pending_token),
                 self._next_key(),
             )
+            self.pool.set_pools(new_pools)
             next_host = np.asarray(next_tokens)
             for i, slot in enumerate(self._slots):
                 if not slot.active:
