@@ -120,6 +120,7 @@ def main(args: ServeArgs) -> None:
             temperature=args.temperature,
             top_p=args.top_p,
             seed=args.seed,
+            prefill_batch=args.prefill_batch,
         )
     else:
         server = GenerationServer(
@@ -170,8 +171,7 @@ def main(args: ServeArgs) -> None:
     summary = {
         "requests": args.num_requests,
         "slots": args.num_slots,
-        # the paged server admits/prefills one request at a time
-        "prefill_batch": 1 if args.paged else args.prefill_batch,
+        "prefill_batch": args.prefill_batch,
         "total_new_tokens": total_tokens,
         "tokens_per_sec": round(total_tokens / elapsed, 2),
         "p50_tick_ms": round(float(np.median(tick_times)) * 1e3, 2),

@@ -203,6 +203,7 @@ class TestPagedServer:
         # pages return when remaining hits 0.
         before = server.pool.free_pages
         server.submit(ids, mask, img)
+        server.flush()  # admission allocates the prompt pages
         assert server.pool.free_pages < before
         server.run_to_completion()
         assert server.pool.free_pages == before

@@ -51,9 +51,21 @@ from ..models.qwen2 import Qwen2Config
 class _Slot:
     request_id: int = -1
     active: bool = False
+    # Slot assigned to a queued (not yet prefilled) request: holds its page
+    # reservation but must not decode until admission.
+    claimed: bool = False
     tokens: List[int] = dataclasses.field(default_factory=list)
     remaining: int = 0
     length: int = 0  # valid tokens in the logical window
+
+
+@dataclasses.dataclass
+class _Pending:
+    request_id: int
+    slot: int
+    input_ids: np.ndarray  # (1, T)
+    attention_mask: np.ndarray  # (1, T)
+    images: Optional[np.ndarray]  # (1, 3, S, S) | None
 
 
 class PagedKVPool:
@@ -199,6 +211,7 @@ class PagedGenerationServer:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        prefill_batch: int = 4,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -220,6 +233,8 @@ class PagedGenerationServer:
         self.top_p = float(top_p)
         self._base_key = jax.random.PRNGKey(seed)
         self._sample_counter = 0
+        self.prefill_batch = max(1, min(prefill_batch, num_slots))
+        self._pending: List[_Pending] = []
 
         cfg = model.cfg
         logical = cfg.num_image_tokens + prompt_len + max_new_tokens
@@ -275,12 +290,16 @@ class PagedGenerationServer:
         temp, top_p_ = self.temperature, self.top_p
 
         quantized = self.pool.quantized
+        bp = self.prefill_batch
 
-        def prefill_one(params, images, ids, mask, key):
-            """Batch-1 prefill -> (next_token, cache-row dict).
+        def prefill_batched(params, images, ids, mask, key):
+            """Admission-batch prefill -> ((bp,) tokens, cache-rows dict).
 
-            The returned dict carries (L, T, K, D) k/v (+ (L, T, K) scales
-            under int8) and the (T,) valid-position mask: cache["mask"]
+            One compiled program prefills ``bp`` requests at a time (short
+            batches run with zero-masked dummy rows — one compiled shape,
+            like the dense server). The returned dict carries
+            (L, bp, max_len, K, D) k/v (+ (L, bp, max_len, K) scales under
+            int8) and the (bp, max_len) valid-position masks: cache["mask"]
             marks image + real text tokens (prompt pad slots stay false) —
             the host mirrors it per slot so gathered decode windows mask
             pads exactly like the dense path (and RoPE counts true lengths,
@@ -288,39 +307,43 @@ class PagedGenerationServer:
             """
             from ..models.qwen2 import init_kv_cache
 
-            cache = init_kv_cache(cfg.text, 1, self._max_len)
+            cache = init_kv_cache(cfg.text, bp, self._max_len)
             last_logits, _, cache, _, _ = model.apply(
                 {"params": params}, images, ids, mask, cache,
                 method=FastVLM.prefill,
             )
-            token = sample_tokens(last_logits, key, temp, top_p_)[0]
-            row = {"k": cache["k"][:, 0], "v": cache["v"][:, 0],
-                   "mask": cache["mask"][0]}
+            tokens = sample_tokens(last_logits, key, temp, top_p_)
+            rows = {"k": cache["k"], "v": cache["v"], "mask": cache["mask"]}
             if quantized:
-                row["k_scale"] = cache["k_scale"][:, 0]
-                row["v_scale"] = cache["v_scale"][:, 0]
-            return token, row
+                rows["k_scale"] = cache["k_scale"]
+                rows["v_scale"] = cache["v_scale"]
+            return tokens, rows
 
-        def _paged(buf):  # (L, max_len, ...) -> (L, pages_per_slot, page, ...)
+        def _paged(buf):
+            # (L, bp, max_len, ...) -> (L, bp, pages_per_slot, page, ...)
             return buf.reshape(
-                (n_layers, pages_per_slot, page) + buf.shape[2:]
+                (n_layers, bp, pages_per_slot, page) + buf.shape[3:]
             )
 
-        def scatter_prefill(pools, row, pages):
-            """Write a prefilled slot row into ``pages`` (pages_per_slot,)."""
+        def scatter_prefill(pools, rows, pages):
+            """Write prefilled rows into ``pages`` (bp, pages_per_slot).
+
+            Dummy rows point every page at the trash page 0 (duplicate
+            scatter targets are fine — all land in trash).
+            """
             out = dict(pools)
             out["k"] = pools["k"].at[:, pages].set(
-                _paged(row["k"]).astype(pools["k"].dtype)
+                _paged(rows["k"]).astype(pools["k"].dtype)
             )
             out["v"] = pools["v"].at[:, pages].set(
-                _paged(row["v"]).astype(pools["v"].dtype)
+                _paged(rows["v"]).astype(pools["v"].dtype)
             )
             if quantized:
                 out["k_scale"] = pools["k_scale"].at[:, pages].set(
-                    _paged(row["k_scale"])
+                    _paged(rows["k_scale"])
                 )
                 out["v_scale"] = pools["v_scale"].at[:, pages].set(
-                    _paged(row["v_scale"])
+                    _paged(rows["v_scale"])
                 )
             return out
 
@@ -386,7 +409,7 @@ class PagedGenerationServer:
                 )
             return next_tokens, out
 
-        self._prefill = jax.jit(prefill_one)
+        self._prefill = jax.jit(prefill_batched)
         self._scatter = jax.jit(scatter_prefill, donate_argnums=(0,))
         self._decode = jax.jit(decode_tick, donate_argnums=(1,))
 
@@ -399,14 +422,14 @@ class PagedGenerationServer:
 
     def has_free_slot(self) -> bool:
         """A slot is free AND the pool can cover a worst-case request."""
-        if not any(not s.active for s in self._slots):
+        if not any(not s.active and not s.claimed for s in self._slots):
             return False
         worst = self.model.cfg.num_image_tokens + self.prompt_len + self.max_new_tokens
         return self.pool.can_reserve(worst)
 
     @property
     def num_active(self) -> int:
-        return sum(s.active for s in self._slots)
+        return sum(s.active for s in self._slots) + len(self._pending)
 
     def submit(
         self,
@@ -414,7 +437,9 @@ class PagedGenerationServer:
         attention_mask: np.ndarray,
         images: Optional[np.ndarray] = None,
     ) -> int:
-        """Admit one request: prefill, allocate prompt pages, scatter."""
+        """Queue a request: a slot and its worst-case pages are claimed now
+        (admission control — never wedge); the prefill itself runs batched
+        ``prefill_batch`` at a time at the next ``step``/``flush``."""
         ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
         if ids.shape[1] != self.prompt_len:
@@ -422,40 +447,81 @@ class PagedGenerationServer:
                 f"prompt must be padded to prompt_len={self.prompt_len}, "
                 f"got {ids.shape[1]}"
             )
-        free = [i for i, s in enumerate(self._slots) if not s.active]
+        free = [
+            i for i, s in enumerate(self._slots) if not s.active and not s.claimed
+        ]
         if not free:
             raise RuntimeError("no free generation slots")
         slot_idx = free[0]
+        prefill_len = self.model.cfg.num_image_tokens + self.prompt_len
+        self.pool.reserve(slot_idx, prefill_len + self.max_new_tokens)
+        self._slots[slot_idx].claimed = True
+        rid = self._next_rid
+        self._next_rid += 1
+        self._pending.append(_Pending(rid, slot_idx, ids, mask, images))
+        return rid
+
+    def flush(self) -> None:
+        """Admit queued requests, ``prefill_batch`` per compiled call."""
+        while self._pending:
+            batch = self._pending[: self.prefill_batch]
+            self._pending = self._pending[len(batch):]
+            self._admit(batch)
+
+    def _admit(self, batch: List[_Pending]) -> None:
+        bp = self.prefill_batch
+        n = len(batch)
         # Logical prefill width: image tokens + padded prompt (the model
         # advances the cursor by the padded width; see models/fastvlm.py).
         prefill_len = self.model.cfg.num_image_tokens + self.prompt_len
-        # Worst-case reservation first (admission control — never wedge),
-        # then the prompt pages themselves.
-        self.pool.reserve(slot_idx, prefill_len + self.max_new_tokens)
-        self.pool.allocate(slot_idx, prefill_len + 1)
+        ids = np.zeros((bp, self.prompt_len), np.int32)
+        mask = np.zeros((bp, self.prompt_len), np.int32)
+        # dummy rows keep one real token so last-position indexing is in
+        # bounds; their pages stay at the trash page.
+        ids[n:, 0] = max(self.eos_token_id, 0)
+        mask[n:, 0] = 1
+        images = None
+        if batch[0].images is not None:
+            img0 = np.asarray(batch[0].images)
+            images = np.zeros((bp,) + img0.shape[1:], img0.dtype)
+        pages = np.zeros((bp, self.pool.pages_per_slot), np.int32)
+        for row, req in enumerate(batch):
+            ids[row] = req.input_ids[0]
+            mask[row] = req.attention_mask[0]
+            if (req.images is None) != (images is None):
+                raise ValueError(
+                    "all requests in a server must be consistently "
+                    "multimodal or text-only"
+                )
+            if images is not None:
+                images[row] = req.images[0]
+            self.pool.allocate(req.slot, prefill_len + 1)
+            pages[row] = self.pool.page_table[req.slot]
 
-        token, row = self._prefill(
+        tokens, rows = self._prefill(
             self.params,
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(ids),
             jnp.asarray(mask),
             self._next_key(),
         )
-        self._slot_mask[slot_idx] = np.asarray(row["mask"])
-        pages = jnp.asarray(self.pool.page_table[slot_idx])
-        self.pool.set_pools(self._scatter(self.pool.pools(), row, pages))
+        self.pool.set_pools(
+            self._scatter(self.pool.pools(), rows, jnp.asarray(pages))
+        )
+        tokens_host = np.asarray(tokens)
+        masks_host = np.asarray(rows["mask"])
 
-        rid = self._next_rid
-        self._next_rid += 1
-        slot = self._slots[slot_idx]
-        slot.request_id = rid
-        slot.active = True
-        slot.tokens = [int(token)]
-        slot.remaining = self.max_new_tokens - 1
-        slot.length = prefill_len
-        self._pending_token[slot_idx] = int(token)
-        self._finish_if_done(slot_idx)
-        return rid
+        for row, req in enumerate(batch):
+            slot = self._slots[req.slot]
+            slot.request_id = req.request_id
+            slot.claimed = False
+            slot.active = True
+            slot.tokens = [int(tokens_host[row])]
+            slot.remaining = self.max_new_tokens - 1
+            slot.length = prefill_len
+            self._slot_mask[req.slot] = masks_host[row]
+            self._pending_token[req.slot] = int(tokens_host[row])
+            self._finish_if_done(req.slot)
 
     def _finish_if_done(self, slot_idx: int) -> None:
         slot = self._slots[slot_idx]
@@ -471,8 +537,9 @@ class PagedGenerationServer:
         slot.length = 0
 
     def step(self) -> Dict[int, List[int]]:
-        """One decode tick across all active slots."""
-        if self.num_active:
+        """Admit pending requests, then one decode tick across all slots."""
+        self.flush()
+        if any(s.active for s in self._slots):
             for i, slot in enumerate(self._slots):
                 if slot.active:
                     # Page for the K/V this tick writes at position length.
