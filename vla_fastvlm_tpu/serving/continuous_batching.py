@@ -103,6 +103,11 @@ class GenerationServer:
         self._next_rid = 0
         self._pending_token = np.full(num_slots + 1, eos_token_id, np.int32)
         self._finished_buffer: Dict[int, List[int]] = {}
+        # Server-level modality, fixed by the first submitted request: the
+        # compiled prefill program either takes images or it doesn't, so a
+        # server can't mix multimodal and text-only requests. Validated at
+        # ``submit`` (before any slot/cache state is touched), never mid-admit.
+        self._multimodal: Optional[bool] = None
 
         bp = self.prefill_batch
 
@@ -182,6 +187,7 @@ class GenerationServer:
         itself runs batched at the next ``step``/``flush``."""
         if self._free_slot_count() <= 0:
             raise RuntimeError("no free generation slots")
+        self._check_modality(images is not None)
         ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
         if ids.shape[1] != self.prompt_len:
@@ -193,6 +199,16 @@ class GenerationServer:
         self._next_rid += 1
         self._pending.append(_Pending(rid, ids, mask, images))
         return rid
+
+    def _check_modality(self, is_multimodal: bool) -> None:
+        """Reject a modality mismatch up front, before any state mutates."""
+        if self._multimodal is None:
+            self._multimodal = is_multimodal
+        elif is_multimodal != self._multimodal:
+            raise ValueError(
+                "all requests in a server must be consistently "
+                "multimodal or text-only"
+            )
 
     def flush(self) -> None:
         """Admit queued requests, ``prefill_batch`` per compiled call."""
@@ -219,11 +235,7 @@ class GenerationServer:
         for row, req in enumerate(batch):
             ids[row] = req.input_ids[0]
             mask[row] = req.attention_mask[0]
-            if (req.images is None) != (images is None):
-                raise ValueError(
-                    "all requests in a server must be consistently "
-                    "multimodal or text-only"
-                )
+            # modality consistency was enforced at submit() time
             if images is not None:
                 images[row] = req.images[0]
             slots[row] = free[row]
@@ -287,11 +299,14 @@ class GenerationServer:
         return finished
 
     def run_to_completion(self, max_ticks: Optional[int] = None) -> Dict[int, List[int]]:
-        """Drain all active slots; convenience for tests/offline use."""
+        """Drain all active slots; convenience for tests/offline use.
+
+        ``max_ticks`` bounds decode ticks exactly (a tick past the cap was a
+        round-2 review finding); ``step`` itself flushes pending admissions,
+        so no trailing call is needed when the queue drains naturally."""
         outputs: Dict[int, List[int]] = {}
         ticks = 0
         while self.num_active and (max_ticks is None or ticks < max_ticks):
             outputs.update(self.step())
             ticks += 1
-        outputs.update(self.step())
         return outputs
