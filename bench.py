@@ -61,6 +61,13 @@ class BenchArgs:
     # 7B-on-v5e-8 serving configuration is --dp 2 --tp 4.
     dp: int = 1
     tp: int = 1
+    # Fabricate params host-side at exact init shapes (io/fabricate.py):
+    # required for 7B-shape runs (no device init / no checkpoint needed;
+    # identical compute+bandwidth cost to real weights). The measured
+    # north-star configuration is:
+    #   python bench.py --model-id fastvlm-7b --quantization int8 \
+    #       --fabricate --image-size 1024 --batch-size 8
+    fabricate: bool = False
 
 
 def main(args: BenchArgs) -> None:
@@ -96,6 +103,7 @@ def main(args: BenchArgs) -> None:
         param_dtype=args.dtype,
         attention_impl=args.attention_impl,
         quantization=args.quantization,
+        fabricate_params=args.fabricate,
         dropout=0.0,
     )
     print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)

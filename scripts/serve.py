@@ -47,7 +47,8 @@ class ServeArgs:
     tp: int = 1
     # "int8": weight-only quantized decoder kernels (io/quantize.py).
     quantization: str = "none"
-    # "int8": int8 KV cache storage (dense server only; 2x slot capacity).
+    # "int8": int8 KV cache storage (dense AND paged servers; 2x slot/page
+    # capacity at the same HBM budget).
     kv_cache_quantization: str = "none"
     # Sampling (0.0 = greedy); top_p < 1 applies nucleus filtering.
     temperature: float = 0.0
@@ -56,6 +57,10 @@ class ServeArgs:
     # slots x max_len (serving/paged_kv.py). Composes with --tp.
     paged: bool = False
     page_size: int = 16
+    # Paged decode implementation: "kernel" = Pallas paged-attention (pool
+    # read in place, no gathered window), "gathered" = round-2 window
+    # program, "auto" = kernel except int8 pools / TP meshes.
+    decode_impl: str = "auto"
     # Pool size in pages (default: every slot at max length + trash page).
     num_pages: Optional[int] = None
 
@@ -121,6 +126,7 @@ def main(args: ServeArgs) -> None:
             top_p=args.top_p,
             seed=args.seed,
             prefill_batch=args.prefill_batch,
+            decode_impl=args.decode_impl,
         )
     else:
         server = GenerationServer(

@@ -171,6 +171,116 @@ def test_7b_serving_prefill_decode_tp_compiles_on_mesh():
 
 
 @pytest.mark.slow
+def test_7b_full_policy_int8_aot_single_chip_and_mesh():
+    """The north-star program (VERDICT r2 #1): the FULL FastVLM-7B policy
+    step — 1024px FastViTHD + projector + int8 Qwen2-7B prefill + last-text
+    pooling + action head — AOT-compiles (a) single-device at the measured
+    bench configuration and (b) DP=2 x TP=4 on the virtual v5e-8 mesh with
+    TP collectives. This is the same compute composition ``bench.py
+    --model-id fastvlm-7b --quantization int8 --fabricate`` measures live
+    on the chip (``FastVLMWithExpert.apply_fn``: features_fn + head)."""
+    from vla_fastvlm_tpu.io.quantize import quantize_params
+    from vla_fastvlm_tpu.models import FastVLM
+    from vla_fastvlm_tpu.models.action_head import ActionExpertHead
+    from vla_fastvlm_tpu.models.fastvit import fastvithd
+    from vla_fastvlm_tpu.models.fastvlm import (
+        FastVLMConfig,
+        pool_last_text_token,
+    )
+    from vla_fastvlm_tpu.models.qwen2 import qwen2_7b
+
+    cfg = FastVLMConfig(
+        vision=fastvithd(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16),
+        text=qwen2_7b(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                      quantization="int8"),
+        image_size=1024,
+    )
+    model = FastVLM(cfg)
+    head = ActionExpertHead(
+        state_dim=14, action_dim=14, dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16, dropout=0.0,
+    )
+
+    float_shapes = jax.eval_shape(
+        lambda: FastVLM(cfg.replace(
+            text=cfg.text.replace(quantization="none"))).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 3, 1024, 1024), jnp.bfloat16),
+            jnp.zeros((1, 4), jnp.int32),
+        )["params"]
+    )
+    qshapes = jax.eval_shape(quantize_params, float_shapes)
+    head_shapes = jax.eval_shape(
+        lambda: head.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 3584), jnp.bfloat16),
+            jnp.zeros((1, 14), jnp.bfloat16),
+        )["params"]
+    )
+    # Single-chip memory: int8 decoder + bf16 embedding/vision/head < 16 GB.
+    total_bytes = sum(
+        np.prod(s.shape) * s.dtype.itemsize
+        for s in jax.tree_util.tree_leaves((qshapes, head_shapes))
+    )
+    assert total_bytes < 10e9, f"{total_bytes / 1e9:.1f} GB"
+
+    def policy_step(params, images, ids, mask, states):
+        hidden, _, text_mask = model.apply(
+            {"params": params["backbone"]}, images, ids, mask
+        )
+        pooled = jax.lax.stop_gradient(pool_last_text_token(hidden, text_mask))
+        return head.apply({"params": params["head"]}, pooled, states)
+
+    b, t = 2, 64
+    args_1chip = (
+        {"backbone": qshapes, "head": head_shapes},
+        jax.ShapeDtypeStruct((b, 3, 1024, 1024), jnp.bfloat16),
+        jax.ShapeDtypeStruct((b, t), jnp.int32),
+        jax.ShapeDtypeStruct((b, t), jnp.int32),
+        jax.ShapeDtypeStruct((b, 14), jnp.bfloat16),
+    )
+    compiled = jax.jit(policy_step).lower(*args_1chip).compile()
+    assert compiled is not None  # compilation itself is the check
+
+    # DP=2 x TP=4 on the virtual v5e-8 mesh: int8 kernels AND their scales
+    # shard over `model`; batch over `data`; collectives present.
+    mesh = make_mesh(data=2, model=4)
+    q_sh = param_shardings(mesh, qshapes)
+    assert (
+        spec_for_param(("layers", "self_attn", "q_proj", "scale"), 3)[-1]
+        == "model"
+    )
+    abstract_params = {
+        "backbone": jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            qshapes, q_sh,
+        ),
+        "head": jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape, s.dtype,
+                sharding=NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            ),
+            head_shapes,
+        ),
+    }
+    data_sharding = NamedSharding(mesh, batch_spec())
+    b8 = 8
+    abstract_args = (
+        abstract_params,
+        jax.ShapeDtypeStruct((b8, 3, 1024, 1024), jnp.bfloat16, sharding=data_sharding),
+        jax.ShapeDtypeStruct((b8, t), jnp.int32, sharding=data_sharding),
+        jax.ShapeDtypeStruct((b8, t), jnp.int32, sharding=data_sharding),
+        jax.ShapeDtypeStruct((b8, 14), jnp.bfloat16, sharding=data_sharding),
+    )
+    with mesh:
+        compiled_mesh = jax.jit(policy_step).lower(*abstract_args).compile()
+    hlo = compiled_mesh.as_text()
+    assert "all-reduce" in hlo or "all-gather" in hlo or "reduce-scatter" in hlo
+    # Per-chip: model-sharded int8 params / 4 + replicated vision/embed.
+    assert total_bytes / 4 < 4e9
+
+
+@pytest.mark.slow
 def test_7b_int8_decode_compiles_single_device():
     """7B weight-only int8 fits and compiles on ONE chip (the single-v5e
     serving shape bf16 cannot reach: ~15.2 GB bf16 vs ~7.5 GB int8+scales).

@@ -175,9 +175,13 @@ class TestGenerationServer:
             server.submit(ids, mask, img)
 
     def test_prompt_len_guard(self, vlm):
+        """Shorter prompts now pad to the bucket (tests/test_prompt_buckets);
+        only widths beyond the largest compiled bucket are rejected."""
         cfg, model, params = vlm
         server = GenerationServer(model, params, num_slots=1,
                                   prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW)
-        with pytest.raises(ValueError, match="prompt_len"):
-            server.submit(np.zeros((1, 4), np.int32), np.zeros((1, 4), np.int32),
+        too_wide = PROMPT_LEN + 1
+        with pytest.raises(ValueError, match="exceeds"):
+            server.submit(np.zeros((1, too_wide), np.int32),
+                          np.zeros((1, too_wide), np.int32),
                           np.zeros((1, 3, 64, 64), np.float32))

@@ -56,6 +56,10 @@ class FastVLAConfig:
     # int8 KV cache storage: halves persistent cache HBM (dense serving).
     kv_cache_quantization: str = "none"
     train_backbone: bool = False
+    # Benchmark-only: host-fabricated params at exact init shapes (see
+    # FastVLMBackboneConfig.fabricate_params) — stands up 7B-shape policies
+    # without device init; values are throughput-irrelevant.
+    fabricate_params: bool = False
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation memory when training the backbone.
     gradient_checkpointing: bool = False
@@ -88,6 +92,7 @@ class FastVLAConfig:
             quantization=self.quantization,
             kv_cache_quantization=self.kv_cache_quantization,
             train_backbone=self.train_backbone,
+            fabricate_params=self.fabricate_params,
             gradient_checkpointing=self.gradient_checkpointing,
             num_cameras=self.num_cameras,
             seed=self.seed,

@@ -107,6 +107,12 @@ class FastVLMBackboneConfig:
     gradient_checkpointing: bool = False
     # Truly train the backbone (reference always stop-grads it).
     train_backbone: bool = False
+    # Benchmark-only: fabricate params host-side at exact init shapes
+    # (io/fabricate.py) instead of running device init — required to stand
+    # up 7B-shape models on one chip (a float 7B init neither compiles fast
+    # over the tunnel nor coexists with its int8 copy in 16 GB HBM). Values
+    # are throughput-irrelevant; never use for numerics.
+    fabricate_params: bool = False
     # Cameras per observation; >1 expects (B, ncam, C, H, W) image batches
     # and concatenates per-view visual tokens.
     num_cameras: int = 1
@@ -198,6 +204,10 @@ class FastVLMBackbone:
 
     def _load_or_init_params(self):
         cfg = self.config
+        if cfg.fabricate_params:
+            from ..io.fabricate import fabricate_like
+
+            return fabricate_like(self._init_shapes(), seed=cfg.seed)
         params = None
         if Path(cfg.model_id).is_dir():
             params = load_fastvlm_params(cfg.model_id, self.model_config)
@@ -211,6 +221,12 @@ class FastVLMBackbone:
         return params
 
     def _init_params(self):
+        variables = self.model.init(
+            jax.random.PRNGKey(self.config.seed), *self._dummy_inputs()
+        )
+        return variables["params"]
+
+    def _dummy_inputs(self):
         cfg = self.model_config
         b, t = 1, self.config.tokenizer_max_length
         dummy_ids = jnp.zeros((b, t), jnp.int32)
@@ -225,10 +241,16 @@ class FastVLMBackbone:
             dummy_imgs = jnp.zeros(
                 (b, 3, cfg.image_size, cfg.image_size), cfg.text.dtype
             )
-        variables = self.model.init(
-            jax.random.PRNGKey(self.config.seed), dummy_imgs, dummy_ids
+        return dummy_imgs, dummy_ids
+
+    def _init_shapes(self):
+        """Abstract init param tree (no tracing on device)."""
+        imgs, ids = self._dummy_inputs()
+        return jax.eval_shape(
+            lambda: self.model.init(
+                jax.random.PRNGKey(self.config.seed), imgs, ids
+            )["params"]
         )
-        return variables["params"]
 
     # ------------------------------------------------------------------
     # size resolution (parity with reference :245-335)

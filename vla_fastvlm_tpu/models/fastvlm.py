@@ -252,6 +252,27 @@ class FastVLM(nn.Module):
         # prefill+decode is pinned by tests/test_serving.py.
         return last_logits, hidden, new_cache, seq_mask, text_mask
 
+    def decode_step_paged(self, input_ids: jnp.ndarray, cache: dict):
+        """One decode step against a paged KV pool (read-only).
+
+        ``cache`` carries the page pool itself: ``{"pool_k","pool_v"}``
+        (L, P, K, page, D), ``"tables"`` (B, P_slot), ``"mask"`` (B, S_max)
+        stored validity, ``"index"`` (B,) write cursors. Attention reads
+        pages via the table inside the Pallas kernel (``ops/pallas/
+        paged_attention.py``) — no transient gathered window; the decoder
+        never writes the pool. Returns ``(logits, rows)`` with ``rows``
+        = {"k_rows","v_rows"}: (L, B, K, D) for the server to scatter.
+        """
+        hidden, rows, tied = self.language_model(
+            input_ids=input_ids,
+            attention_mask=jnp.ones_like(input_ids, dtype=jnp.int32),
+            cache=cache,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        logits = self._logits(hidden, tied)
+        return logits[:, -1, :], rows
+
     def decode_step(self, input_ids: jnp.ndarray, cache: dict):
         """One KV-cached decode step: (B, 1) token ids -> (B, V) logits."""
         hidden, new_cache, tied = self.language_model(

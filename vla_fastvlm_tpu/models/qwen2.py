@@ -158,7 +158,7 @@ class Qwen2Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, kv_mask, cos, sin, cache_k, cache_v,
-                 cache_k_scale, cache_v_scale, cache_index):
+                 cache_k_scale, cache_v_scale, cache_index, page_tables=None):
         cfg = self.cfg
         b, t, _ = x.shape
         n, k_heads, d = (
@@ -197,6 +197,28 @@ class Qwen2Attention(nn.Module):
         v = v.reshape(b, t, k_heads, d)
 
         q, k = apply_rope(q, k, cos, sin)
+
+        if page_tables is not None:
+            # Paged decode (t == 1): attention reads K/V pages straight from
+            # the pool (cache_k/cache_v are this layer's (P, K, page, D) pool
+            # slices) via the page table inside the Pallas kernel — no
+            # transient gathered window (serving/paged_kv.py seam). The new
+            # token's K/V joins as an extra softmax column and is RETURNED
+            # (not written): the server scatters the row into the pool after
+            # the tick, keeping the decoder pool-read-only.
+            from ..ops.attention import paged_attention
+
+            out = paged_attention(
+                q, cache_k, cache_v, page_tables, kv_mask, cache_index,
+                k, v, impl=cfg.attention_impl,
+            )
+            new_cache = (k[:, 0], v[:, 0], None, None)
+            out = out.reshape(b, t, n * d)
+            if quantized:
+                return dense_apply(
+                    out, self.variables["params"]["o_proj"], cfg.dtype
+                ), new_cache
+            return dense(cfg.hidden_size, False, "o_proj")(out), new_cache
 
         if cache_k is not None:
             # Per-example cursor: vmap the slice update over the batch.
@@ -297,13 +319,13 @@ class Qwen2Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, kv_mask, cos, sin, cache_k, cache_v,
-                 cache_k_scale, cache_v_scale, cache_index):
+                 cache_k_scale, cache_v_scale, cache_index, page_tables=None):
         cfg = self.cfg
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
                     name="input_layernorm")(x)
         attn_out, new_cache = Qwen2Attention(cfg, self.causal, name="self_attn")(
             h, bias, kv_mask, cos, sin, cache_k, cache_v,
-            cache_k_scale, cache_v_scale, cache_index
+            cache_k_scale, cache_v_scale, cache_index, page_tables
         )
         x = x + attn_out
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype,
@@ -375,7 +397,22 @@ class Qwen2Model(nn.Module):
 
         cos, sin = rope_cos_sin(positions, cfg.resolved_head_dim, cfg.rope_theta, cfg.dtype)
 
-        if cache is not None:
+        paged = cache is not None and "pool_k" in cache
+        if paged:
+            # Paged decode: the cache dict carries the page pool itself
+            # ({"pool_k","pool_v"}: (L, P, K, page, D), "tables": (B, P_slot),
+            # "mask": (B, S_max) stored validity, "index": (B,) cursors).
+            # Attention masking happens inside the paged kernel/fallback, so
+            # no bias is built here; RoPE positions above already continue
+            # each slot's true valid count from cache["mask"].
+            kv_mask = cache["mask"].astype(jnp.int32)
+            bias = None
+            attn_kv_mask = kv_mask
+            cache_k, cache_v = cache["pool_k"], cache["pool_v"]
+            cache_index = cache["index"]
+            cache_ks = cache_vs = None
+            page_tables = cache["tables"]
+        elif cache is not None:
             # KV-cached decode: arbitrary query positions vs the whole cache
             # -> additive-bias (XLA) attention path.
             s = cache["k"].shape[2]
@@ -403,6 +440,7 @@ class Qwen2Model(nn.Module):
             cache_k, cache_v, cache_index = cache["k"], cache["v"], cache["index"]
             cache_ks = cache.get("k_scale")
             cache_vs = cache.get("v_scale")
+            page_tables = None
         else:
             # Prefill: structured mask (key padding + causal-by-position) ->
             # eligible for the Pallas flash kernel on TPU.
@@ -411,6 +449,7 @@ class Qwen2Model(nn.Module):
             attn_kv_mask = kv_mask
             cache_k = cache_v = cache_index = None
             cache_ks = cache_vs = None
+            page_tables = None
 
         block_cls = Qwen2Block
         if cfg.remat:
@@ -422,13 +461,13 @@ class Qwen2Model(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                         nn.broadcast, 0, 0, 0, 0, nn.broadcast),
+                         nn.broadcast, 0, 0, 0, 0, nn.broadcast, nn.broadcast),
                 out_axes=0,
                 length=cfg.num_hidden_layers,
             )
             x, stacked_cache = scanned(cfg, causal, name="layers")(
                 x, bias, attn_kv_mask, cos, sin, cache_k, cache_v,
-                cache_ks, cache_vs, cache_index
+                cache_ks, cache_vs, cache_index, page_tables
             )
             new_k, new_v, new_kscale, new_vscale = stacked_cache
         else:
@@ -440,7 +479,7 @@ class Qwen2Model(nn.Module):
                 cvs = cache_vs[i] if cache_vs is not None else None
                 x, (nk, nv, nks, nvs) = block_cls(cfg, causal, name=f"layers_{i}")(
                     x, bias, attn_kv_mask, cos, sin, ck, cv, cks, cvs,
-                    cache_index
+                    cache_index, page_tables
                 )
                 new_ks.append(nk)
                 new_vs.append(nv)
@@ -458,7 +497,11 @@ class Qwen2Model(nn.Module):
         x = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, cfg.param_dtype, name="norm")(x)
 
         new_cache = None
-        if cache is not None:
+        if paged:
+            # (L, B, K, D) new K/V rows for the caller to scatter into the
+            # pool at (tables[b, index // page], index % page).
+            new_cache = {"k_rows": new_k, "v_rows": new_v}
+        elif cache is not None:
             new_cache = {
                 "k": new_k,
                 "v": new_v,

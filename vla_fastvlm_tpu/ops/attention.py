@@ -72,6 +72,72 @@ def dot_product_attention(
     return out
 
 
+def paged_attention(
+    q: jnp.ndarray,  # (B, 1, N, D) post-RoPE decode queries
+    pool_k: jnp.ndarray,  # (P_total, K, page, D) physical page pool
+    pool_v: jnp.ndarray,  # (P_total, K, page, D)
+    tables: jnp.ndarray,  # (B, P_slot) int32 physical page ids (0 = trash)
+    kv_mask: jnp.ndarray,  # (B, S_max) stored-position validity
+    lengths: jnp.ndarray,  # (B,) slot write cursor of the current token
+    k_new: jnp.ndarray,  # (B, 1, K, D) current token K (post-RoPE)
+    v_new: jnp.ndarray,  # (B, 1, K, D)
+    *,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Decode attention against a paged KV pool -> (B, 1, N, D).
+
+    Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``) reads
+    pages via the table inside the kernel (no transient gathered window);
+    everywhere it does not apply (CPU, int8 pools, ``impl="xla"``) the
+    fallback gathers the logical window per layer and reproduces the dense
+    decode path's exact op sequence (insert-at-cursor + slot-causal bias), so
+    greedy tokens match the gathered server bit-for-bit on the same backend.
+    """
+    if impl in ("auto", "flash"):
+        from .pallas.paged_attention import (
+            paged_attention_decode,
+            supports_paged_kernel,
+        )
+
+        if supports_paged_kernel(pool_k.shape, q.shape[2], pool_k.dtype):
+            out = paged_attention_decode(
+                q[:, 0], pool_k, pool_v, tables, kv_mask,
+                k_new[:, 0], v_new[:, 0], scale=scale,
+            )
+            return out[:, None]
+
+    # XLA fallback: gather window -> insert current row -> dense decode math.
+    p_slot, page = tables.shape[1], pool_k.shape[2]
+    s_max = p_slot * page
+    b = q.shape[0]
+
+    def gather(pool):
+        g = pool[tables]  # (B, P_slot, K, page, D)
+        g = jnp.transpose(g, (0, 1, 3, 2, 4))  # (B, P_slot, page, K, D)
+        return g.reshape(b, s_max, pool.shape[1], pool.shape[3])
+
+    insert = jax.vmap(
+        lambda buf, new, idx: jax.lax.dynamic_update_slice(buf, new, (idx, 0, 0))
+    )
+    win_k = insert(gather(pool_k), k_new.astype(pool_k.dtype), lengths)
+    win_v = insert(gather(pool_v), v_new.astype(pool_v.dtype), lengths)
+    kv_mask_upd = jax.vmap(
+        lambda row, idx: jax.lax.dynamic_update_slice(
+            row, jnp.ones((1,), jnp.int32), (idx,)
+        )
+    )(kv_mask.astype(jnp.int32), lengths)
+    kv_positions = jnp.broadcast_to(
+        jnp.arange(s_max, dtype=jnp.int32)[None, :], (b, s_max)
+    )
+    bias = make_attention_bias(
+        lengths[:, None], kv_positions, kv_mask_upd, causal=True
+    )
+    return dot_product_attention(
+        q, win_k.astype(q.dtype), win_v.astype(q.dtype), bias=bias, scale=scale
+    )
+
+
 def attention(
     q: jnp.ndarray,  # (B, T, N, D)
     k: jnp.ndarray,  # (B, S, K, D)

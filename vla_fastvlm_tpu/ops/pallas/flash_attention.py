@@ -23,6 +23,16 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
 Backward: ``flash_attention`` is wrapped in ``jax.custom_vjp`` whose backward
 recomputes attention with the XLA reference path — exact gradients, flash
 speed on the (dominant, often stop-gradient'd) forward.
+
+Status (decided, round 3): as a *prefill* kernel this is a validated
+experiment that XLA beat at every production sequence length (crossover
+only at >= ``MIN_AUTO_SEQ`` = 4096 tokens — measured table in
+``supports_flash``); it stays available for long-context forcing and as the
+measured record. Its production descendant is the **paged-attention decode
+kernel** (``ops/pallas/paged_attention.py``), which reuses this kernel's
+patterns (GQA-by-index-map, fp32 softmax tile, masking scheme) where a
+Pallas kernel IS justified by measurement: removing the paged server's
+per-tick gathered window.
 """
 
 from __future__ import annotations

@@ -1,0 +1,227 @@
+"""Pallas TPU paged-attention decode kernel.
+
+Closes the paged server's declared seam (``serving/paged_kv.py``): the
+XLA-gathered decode tick materializes each slot's logical ``(L, B, S, K, D)``
+window out of the page pool every tick — at least three full-window HBM
+round trips (gather read+write, attention read) plus the scanned decode
+program's stacked new-window outputs. This kernel reads K/V **pages directly
+from the pool via the page table inside the kernel**, so a decode tick's
+attention traffic is one read of the allocated pages and nothing else.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+
+- grid = (batch_slot, pages_per_slot); the page table rides in as a
+  **scalar-prefetch** operand (``pltpu.PrefetchScalarGridSpec``) so the
+  BlockSpec index maps resolve ``table[b, p]`` to a physical pool page
+  *before* the kernel body runs — the pipeline machinery then streams and
+  double-buffers page blocks exactly like any other blocked operand.
+- Pool layout is ``(num_pages, K, page, D)`` per layer (kv-head major), so a
+  page block's trailing dims are ``(page, D)`` — sublane/lane aligned for
+  bf16 at ``page_size`` >= 16 without relayout.
+- Each grid step stages its page into a per-slot VMEM window scratch
+  ``(K, S_max, D)``; the last page step runs the whole (tiny) GQA attention
+  for that slot in fp32: one ``(rep, S)`` logits tile per kv head — never
+  materialized to HBM.
+- The current token's K/V (``k_new``/``v_new``, this tick's projections)
+  enter as separate operands and join the softmax as one extra column, so
+  the kernel never depends on the pool scatter having happened first — the
+  server scatters the row *after* the tick, exactly like the gathered path.
+- Decode attention is HBM-bandwidth-bound (q is one token); compute shape
+  inefficiency (rep x page matmuls) is irrelevant by construction — the
+  kernel's job is to touch each allocated byte once.
+
+The mathematically-identical XLA fallback (gather + insert + dense
+attention) lives in ``ops/attention.paged_attention`` and is used on CPU and
+for int8 pools; numerics between kernel and fallback differ only in
+summation order of the softmax (the appended current-token column), pinned
+by ``tests/test_paged_attention.py`` in interpreter mode.
+
+No reference counterpart: the reference has no serving path at all
+(``lerobot_fastvla/modeling_fastvla.py:113-125`` is one eager forward per
+env step); this is TPU-native serving infrastructure in the vLLM lineage
+(PAPERS.md: paged attention), built on the validated flash-attention kernel
+patterns (``ops/pallas/flash_attention.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_attn_kernel(
+    tables_ref,  # scalar prefetch: (B, P_slot) int32 physical page ids
+    q_ref,  # (1, K, rep, D) grouped queries for slot b
+    kpage_ref,  # (1, K, page, D) one physical K page
+    vpage_ref,  # (1, K, page, D) one physical V page
+    mask_ref,  # (1, 1, S_max) int32 validity of stored positions
+    knew_ref,  # (1, K, D) current token's K
+    vnew_ref,  # (1, K, D) current token's V
+    o_ref,  # (1, K, rep, D)
+    k_buf,  # VMEM scratch (K, S_max, D)
+    v_buf,  # VMEM scratch (K, S_max, D)
+    *,
+    scale: float,
+    page: int,
+    kv_heads: int,
+):
+    p = pl.program_id(1)
+
+    # Stage this page into the slot's window scratch. The offset is a
+    # multiple of the page size (static grid step x page).
+    off = pl.multiple_of(p * page, page)
+    k_buf[:, pl.ds(off, page), :] = kpage_ref[0]
+    v_buf[:, pl.ds(off, page), :] = vpage_ref[0]
+
+    @pl.when(p == pl.num_programs(1) - 1)
+    def _attend():
+        valid = mask_ref[0, 0, :] > 0  # (S_max,)
+        for h in range(kv_heads):  # static unroll: K is 2 (0.5B) or 4 (7B)
+            qh = q_ref[0, h].astype(jnp.float32)  # (rep, D)
+            logits = jax.lax.dot_general(
+                qh,
+                k_buf[h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (rep, S_max)
+            logits = jnp.where(valid[None, :], logits, NEG_INF)
+            # Current token: one always-valid extra column, kept out of the
+            # window so the kernel does not require the pool scatter first.
+            k_new = knew_ref[0, h].astype(jnp.float32)  # (D,)
+            l_new = jnp.sum(qh * k_new[None, :], axis=1, keepdims=True) * scale
+            m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), l_new)
+            ea = jnp.exp(logits - m)  # (rep, S_max); masked cols exp(-inf)=0
+            eb = jnp.exp(l_new - m)  # (rep, 1)
+            denom = jnp.sum(ea, axis=1, keepdims=True) + eb
+            probs = (ea / denom).astype(v_buf.dtype)
+            pv = jax.lax.dot_general(
+                probs,
+                v_buf[h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rep, D)
+            v_new = vnew_ref[0, h].astype(jnp.float32)
+            out = pv + (eb / denom) * v_new[None, :]
+            o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def paged_attention_decode(
+    q: jnp.ndarray,  # (B, N, D) post-RoPE queries, one token per slot
+    pool_k: jnp.ndarray,  # (P_total, K, page, D)
+    pool_v: jnp.ndarray,  # (P_total, K, page, D)
+    tables: jnp.ndarray,  # (B, P_slot) int32 physical page ids (0 = trash)
+    kv_mask: jnp.ndarray,  # (B, S_max) stored-position validity
+    k_new: jnp.ndarray,  # (B, K, D) current token K (post-RoPE)
+    v_new: jnp.ndarray,  # (B, K, D)
+    *,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One decode step of attention against a paged KV pool -> (B, N, D)."""
+    b, n, d = q.shape
+    p_total, kv_heads, page, _ = pool_k.shape
+    p_slot = tables.shape[1]
+    s_max = p_slot * page
+    rep = n // kv_heads
+    if scale is None:
+        scale = d ** -0.5
+
+    q_g = q.reshape(b, kv_heads, rep, d)
+    # Rank-3 mask so the VMEM block's sublane dim equals the array dim
+    # (Mosaic tiling: block dims must be 8/128-multiples OR full-dim; a
+    # (1, S) block of a (B, S) array fails the sublane rule).
+    mask_i = kv_mask.astype(jnp.int32)[:, None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, p_slot),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kv_heads, rep, d),
+                lambda bi, pi, tab: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kv_heads, page, d),
+                lambda bi, pi, tab: (tab[bi, pi], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kv_heads, page, d),
+                lambda bi, pi, tab: (tab[bi, pi], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s_max),
+                lambda bi, pi, tab: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kv_heads, d),
+                lambda bi, pi, tab: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, kv_heads, d),
+                lambda bi, pi, tab: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kv_heads, rep, d),
+            lambda bi, pi, tab: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kv_heads, s_max, d), pool_k.dtype),
+            pltpu.VMEM((kv_heads, s_max, d), pool_v.dtype),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_attn_kernel,
+            scale=scale,
+            page=page,
+            kv_heads=kv_heads,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kv_heads, rep, d), q.dtype),
+        interpret=interpret,
+    )(tables.astype(jnp.int32), q_g, pool_k, pool_v, mask_i, k_new, v_new)
+    return out.reshape(b, n, d)
+
+
+def supports_paged_kernel(
+    pool_k_shape,
+    n_heads: int,
+    dtype,
+    backend: Optional[str] = None,
+) -> bool:
+    """Static applicability check for the Pallas paged-decode kernel.
+
+    Requirements: TPU backend, int8-free pool (quantized pools take the
+    XLA-gather fallback), ``head_dim % 64 == 0``, whole kv-head grouping,
+    and a sublane-aligned page size (>= 16 covers the bf16 tile minimum).
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        return False
+    _, kv_heads, page, d = pool_k_shape
+    if dtype == jnp.int8:
+        return False
+    if d % 64 != 0 or d > 256:
+        return False
+    if n_heads % kv_heads != 0:
+        return False
+    if page % 16 != 0:
+        return False
+    return True

@@ -47,9 +47,47 @@ class _Slot:
 @dataclasses.dataclass
 class _Pending:
     request_id: int
-    input_ids: np.ndarray  # (1, T)
-    attention_mask: np.ndarray  # (1, T)
+    input_ids: np.ndarray  # (1, bucket)
+    attention_mask: np.ndarray  # (1, bucket)
     images: Optional[np.ndarray]  # (1, 3, S, S) | None
+    bucket: int = 0  # compiled prompt width this request was padded to
+
+
+def normalize_buckets(prompt_len) -> tuple:
+    """``prompt_len`` int or sequence -> sorted tuple of compiled widths.
+
+    One compiled prefill width wastes compute (and, paged, pages) on short
+    prompts; a small set of buckets is the standard XLA answer (VERDICT r2
+    #7): requests pad to the smallest bucket >= their width and admission
+    batches per bucket, so each width is one compiled program.
+    """
+    if isinstance(prompt_len, (int, np.integer)):
+        buckets = (int(prompt_len),)
+    else:
+        buckets = tuple(sorted({int(p) for p in prompt_len}))
+    if not buckets or buckets[0] <= 0:
+        raise ValueError(f"invalid prompt_len buckets {buckets}")
+    return buckets
+
+
+def pick_bucket(buckets, width: int) -> int:
+    for b in buckets:
+        if width <= b:
+            return b
+    raise ValueError(
+        f"prompt width {width} exceeds the largest compiled bucket "
+        f"{buckets[-1]}"
+    )
+
+
+def _pad_to(ids: np.ndarray, mask: np.ndarray, bucket: int):
+    pad = bucket - ids.shape[1]
+    if pad == 0:
+        return ids, mask
+    return (
+        np.pad(ids, ((0, 0), (0, pad))),
+        np.pad(mask, ((0, 0), (0, pad))),
+    )
 
 
 class GenerationServer:
@@ -60,7 +98,7 @@ class GenerationServer:
         model: FastVLM,
         params,
         num_slots: int = 8,
-        prompt_len: int = 64,
+        prompt_len=64,
         max_new_tokens: int = 32,
         eos_token_id: int = 2,
         prefill_batch: int = 4,
@@ -72,7 +110,13 @@ class GenerationServer:
         """``mesh``: optional TP mesh — parameters and the KV cache (kv heads
         over ``model``) are placed on it and GSPMD shards every program; use
         ``make_mesh(data=1, model=N)`` (sharding the slot axis over ``data``
-        would route every slot insert through cross-chip collectives)."""
+        would route every slot insert through cross-chip collectives).
+
+        ``prompt_len``: one compiled prompt width (int) or a set of bucket
+        widths (sequence). Requests may be submitted at any width <= the
+        largest bucket; they pad to the smallest covering bucket and
+        admission batches per bucket (one compiled prefill program each —
+        short prompts stop paying the full-width prefill)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -81,7 +125,8 @@ class GenerationServer:
             params = shard_params(mesh, params)
         self.params = params
         self.num_slots = num_slots
-        self.prompt_len = prompt_len
+        self.prompt_buckets = normalize_buckets(prompt_len)
+        self.prompt_len = self.prompt_buckets[-1]
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.prefill_batch = max(1, min(prefill_batch, num_slots))
@@ -91,7 +136,7 @@ class GenerationServer:
         self._sample_counter = 0
 
         cfg = model.cfg
-        self._cache_len = cfg.num_image_tokens + prompt_len + max_new_tokens
+        self._cache_len = cfg.num_image_tokens + self.prompt_len + max_new_tokens
         # +1 trash slot: dummy admission rows land there (never decoded).
         self.cache = init_kv_cache(cfg.text, num_slots + 1, self._cache_len)
         if mesh is not None:
@@ -179,25 +224,23 @@ class GenerationServer:
 
     def submit(
         self,
-        input_ids: np.ndarray,  # (T,) or (1, T), right-padded to prompt_len
+        input_ids: np.ndarray,  # (T,) or (1, T), T <= the largest bucket
         attention_mask: np.ndarray,
         images: Optional[np.ndarray] = None,  # (1, 3, S, S) when multimodal
     ) -> int:
-        """Queue a request for admission; returns a request id. The prefill
-        itself runs batched at the next ``step``/``flush``."""
+        """Queue a request for admission; returns a request id. The request
+        pads to the smallest covering prompt bucket; the prefill itself runs
+        batched per bucket at the next ``step``/``flush``."""
         if self._free_slot_count() <= 0:
             raise RuntimeError("no free generation slots")
         self._check_modality(images is not None)
         ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
-        if ids.shape[1] != self.prompt_len:
-            raise ValueError(
-                f"prompt must be padded to prompt_len={self.prompt_len}, "
-                f"got {ids.shape[1]}"
-            )
+        bucket = pick_bucket(self.prompt_buckets, ids.shape[1])
+        ids, mask = _pad_to(ids, mask, bucket)
         rid = self._next_rid
         self._next_rid += 1
-        self._pending.append(_Pending(rid, ids, mask, images))
+        self._pending.append(_Pending(rid, ids, mask, images, bucket))
         return rid
 
     def _check_modality(self, is_multimodal: bool) -> None:
@@ -211,17 +254,26 @@ class GenerationServer:
             )
 
     def flush(self) -> None:
-        """Admit queued requests, ``prefill_batch`` per compiled call."""
+        """Admit queued requests, ``prefill_batch`` per compiled call.
+
+        With prompt buckets, admission groups by bucket (FIFO by the oldest
+        pending request's bucket) so every prefill call is one compiled
+        width."""
         while self._pending:
-            batch = self._pending[: self.prefill_batch]
-            self._pending = self._pending[len(batch):]
+            bucket = self._pending[0].bucket
+            batch = [p for p in self._pending if p.bucket == bucket][
+                : self.prefill_batch
+            ]
+            taken = {id(p) for p in batch}
+            self._pending = [p for p in self._pending if id(p) not in taken]
             self._admit(batch)
 
     def _admit(self, batch: List[_Pending]) -> None:
         bp = self.prefill_batch
         n = len(batch)
-        ids = np.zeros((bp, self.prompt_len), np.int32)
-        mask = np.zeros((bp, self.prompt_len), np.int32)
+        width = batch[0].bucket
+        ids = np.zeros((bp, width), np.int32)
+        mask = np.zeros((bp, width), np.int32)
         # dummy rows keep one real token so last-position indexing is in
         # bounds; their cache rows go to the trash slot.
         ids[n:, 0] = self.eos_token_id

@@ -31,7 +31,9 @@ def build_cache(cfg: FastVLMConfig, batch: int, prompt_len: int, max_new_tokens:
 @partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("max_new_tokens", "temperature", "top_p"),
+    static_argnames=(
+        "max_new_tokens", "temperature", "top_p", "return_last_logits"
+    ),
 )
 def generate(
     model: FastVLM,
@@ -45,9 +47,12 @@ def generate(
     temperature: float = 0.0,
     top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
+    return_last_logits: bool = False,
 ) -> jnp.ndarray:
     """Greedy (or temperature) decoding. Returns (B, max_new_tokens) ids,
-    padded with ``eos_token_id`` after each sequence finishes."""
+    padded with ``eos_token_id`` after each sequence finishes.
+    ``return_last_logits=True`` additionally returns the final decode
+    step's (B, V) logits (numeric-drift probe for quantized caches)."""
     b, t = input_ids.shape
     cache = build_cache(model.cfg, b, t, max_new_tokens)
 
@@ -73,7 +78,7 @@ def generate(
     done0 = token0 == eos_token_id
 
     def step(carry, key):
-        token, done, cache = carry
+        token, done, cache, _ = carry
         logits, cache = model.apply(
             {"params": params},
             token[:, None],
@@ -83,8 +88,12 @@ def generate(
         next_token = sample(logits, key).astype(jnp.int32)
         next_token = jnp.where(done, eos_token_id, next_token)
         done = jnp.logical_or(done, next_token == eos_token_id)
-        return (next_token, done, cache), token
+        return (next_token, done, cache, logits), token
 
     keys = jax.random.split(rng, max_new_tokens)
-    (_, _, _), tokens = jax.lax.scan(step, (token0, done0, cache), keys)
+    (_, _, _, last), tokens = jax.lax.scan(
+        step, (token0, done0, cache, jnp.zeros_like(last_logits)), keys
+    )
+    if return_last_logits:
+        return tokens.T, last
     return tokens.T  # (B, max_new_tokens)

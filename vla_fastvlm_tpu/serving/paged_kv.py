@@ -6,26 +6,25 @@ storage; with heterogeneous request lengths most of it is dead. Paged KV
 fixed-size pages and gives each slot a page table, so persistent HBM scales
 with *allocated tokens*, not ``slots x max_len``:
 
-- **Pool**: ``(L, num_pages, page_size, K, D)`` per K/V. Physical page 0 is
-  the trash page — unallocated table entries point at it, writes to dummy
+- **Pool**: ``(L, num_pages, K, page_size, D)`` per K/V (kv-head major so a
+  page block is sublane/lane aligned for the Pallas kernel). Physical page 0
+  is the trash page — unallocated table entries point at it, writes to dummy
   rows land there, and the kv mask keeps attention from ever reading it.
 - **Page tables**: host-side ``(num_slots, pages_per_slot)`` int32, shipped
   to the device per tick (tiny). Allocation/free is host bookkeeping — a
   free list, O(1) per page, no device round trips.
-- **Decode tick**: gathers each active slot's pages into the *logical*
-  ``(L, B, S_max, K, D)`` window, runs the exact same KV-cached decode
-  program as the dense server (``models/qwen2.py`` per-example cursors),
-  then scatters the new token's K/V back into the pool at
-  ``page_table[slot, len // page], len % page``.
-
-XLA caveat (documented, deliberate): the gather materializes the logical
-window transiently each tick, so *peak* memory during a tick is pool +
-window, and the window costs one extra HBM write per tick vs the dense
-server. Persistent memory is what pages save. Removing the transient window
-requires a fused paged-attention kernel that indexes pages inside the kernel
-loop — the seam is this module's ``gather_window`` (swap for a Pallas
-paged-attention call); see ``ops/pallas/flash_attention.py`` for the kernel
-base it would extend.
+- **Decode tick** (``decode_impl="kernel"``, the default): the Pallas
+  paged-attention kernel (``ops/pallas/paged_attention.py``) reads each
+  slot's K/V pages via the page table *inside the kernel* and the decoder
+  returns only the new token's K/V rows, which one scatter writes back at
+  ``page_table[slot, len // page], len % page`` — attention traffic is one
+  read of the allocated pages, and peak memory is the pool alone.
+- **Gathered tick** (``decode_impl="gathered"``; automatic for int8 pools
+  and TP meshes): the round-2 path — gather each slot's pages into the
+  logical ``(L, B, S_max, K, D)`` window and run the dense server's decode
+  program. The gather materializes the window transiently each tick (peak
+  memory pool + window, ~3 extra full-window HBM round trips); kept for the
+  configurations the kernel does not cover yet and as the exactness anchor.
 
 No reference counterpart: the reference has no serving/generation path at
 all (its policy is one eager forward per env step, reference
@@ -45,6 +44,7 @@ import numpy as np
 
 from ..models.fastvlm import FastVLM
 from ..models.qwen2 import Qwen2Config
+from .continuous_batching import _pad_to, normalize_buckets, pick_bucket
 
 
 @dataclasses.dataclass
@@ -63,9 +63,10 @@ class _Slot:
 class _Pending:
     request_id: int
     slot: int
-    input_ids: np.ndarray  # (1, T)
-    attention_mask: np.ndarray  # (1, T)
+    input_ids: np.ndarray  # (1, bucket)
+    attention_mask: np.ndarray  # (1, bucket)
     images: Optional[np.ndarray]  # (1, 3, S, S) | None
+    bucket: int = 0  # compiled prompt width this request was padded to
 
 
 class PagedKVPool:
@@ -88,19 +89,21 @@ class PagedKVPool:
         self.num_pages = num_pages
         self.pages_per_slot = max_len // page_size
         self.max_len = max_len
+        # kv-head-major page layout: a page block's trailing dims are
+        # (page, D), sublane/lane aligned for the Pallas paged kernel.
         shape = (
             cfg.num_hidden_layers,
             num_pages,
-            page_size,
             cfg.num_key_value_heads,
+            page_size,
             cfg.resolved_head_dim,
         )
         dtype = dtype or cfg.dtype
         self.quantized = cfg.kv_cache_quantization == "int8"
         if self.quantized:
             dtype = jnp.int8
-            # Per-(page-position, kv-head) scales, mirroring the dense int8
-            # cache's k_scale/v_scale layout (models/qwen2.init_kv_cache).
+            # Per-(kv-head, page-position) scales, the dense int8 cache's
+            # k_scale/v_scale (models/qwen2.init_kv_cache) in pool layout.
             self.pool_k_scale = jnp.zeros(shape[:-1], jnp.float32)
             self.pool_v_scale = jnp.zeros(shape[:-1], jnp.float32)
         else:
@@ -202,7 +205,7 @@ class PagedGenerationServer:
         model: FastVLM,
         params,
         num_slots: int = 8,
-        prompt_len: int = 64,
+        prompt_len=64,
         max_new_tokens: int = 32,
         eos_token_id: int = 2,
         page_size: int = 16,
@@ -212,12 +215,22 @@ class PagedGenerationServer:
         top_p: float = 1.0,
         seed: int = 0,
         prefill_batch: int = 4,
+        decode_impl: str = "auto",
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
-        heads (axis 3), matching the dense server's cache layout: page
+        heads (axis 2), matching the dense server's cache layout: page
         gathers/scatters index axis 1 and stay chip-local; GSPMD inserts
-        only the per-block TP all-reduces."""
+        only the per-block TP all-reduces.
+
+        ``decode_impl``: "kernel" decodes via the Pallas paged-attention
+        path (``ops/pallas/paged_attention.py`` on TPU; mathematically
+        matched XLA fallback elsewhere) — the pool is read in place, no
+        transient gathered window. "gathered" keeps the round-2 gather-
+        window program. "auto" picks "kernel" except where it does not
+        apply yet: int8 pools (the kernel reads raw pages) and TP meshes
+        (a pallas_call is not GSPMD-partitionable; the sharded program
+        needs the gathered path)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -226,7 +239,8 @@ class PagedGenerationServer:
             params = shard_params(mesh, params)
         self.params = params
         self.num_slots = num_slots
-        self.prompt_len = prompt_len
+        self.prompt_buckets = normalize_buckets(prompt_len)
+        self.prompt_len = self.prompt_buckets[-1]
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.temperature = float(temperature)
@@ -237,7 +251,7 @@ class PagedGenerationServer:
         self._pending: List[_Pending] = []
 
         cfg = model.cfg
-        logical = cfg.num_image_tokens + prompt_len + max_new_tokens
+        logical = cfg.num_image_tokens + self.prompt_len + max_new_tokens
         # Round the logical window up to whole pages.
         page_count = -(-logical // page_size)
         self._max_len = page_count * page_size
@@ -257,13 +271,13 @@ class PagedGenerationServer:
             from ..parallel.mesh import MODEL_AXIS
 
             pool_sharding = NamedSharding(
-                mesh, P(None, None, None, MODEL_AXIS, None)
+                mesh, P(None, None, MODEL_AXIS, None, None)
             )
             self.pool.pool_k = jax.device_put(self.pool.pool_k, pool_sharding)
             self.pool.pool_v = jax.device_put(self.pool.pool_v, pool_sharding)
             if self.pool.quantized:
                 scale_sharding = NamedSharding(
-                    mesh, P(None, None, None, MODEL_AXIS)
+                    mesh, P(None, None, MODEL_AXIS, None)
                 )
                 self.pool.pool_k_scale = jax.device_put(
                     self.pool.pool_k_scale, scale_sharding
@@ -273,6 +287,10 @@ class PagedGenerationServer:
                 )
         self._slots = [_Slot() for _ in range(num_slots)]
         self._next_rid = 0
+        # Server-level modality, fixed by the first submitted request and
+        # validated at ``submit`` — never mid-admit, where a raise would
+        # leak already-claimed slots and page reservations (review finding).
+        self._multimodal: Optional[bool] = None
         self._pending_token = np.full(num_slots, eos_token_id, np.int32)
         # Host mirror of each slot's valid-position mask (what the dense
         # cache carries in cache["mask"]).
@@ -291,6 +309,26 @@ class PagedGenerationServer:
 
         quantized = self.pool.quantized
         bp = self.prefill_batch
+
+        if decode_impl not in ("auto", "kernel", "gathered"):
+            raise ValueError(f"unknown decode_impl {decode_impl!r}")
+        if decode_impl == "kernel":
+            if quantized:
+                raise ValueError(
+                    "decode_impl='kernel' does not support int8 pools yet; "
+                    "use decode_impl='gathered' with kv_cache_quantization"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "decode_impl='kernel' is single-(logical-)chip: a "
+                    "pallas_call is not GSPMD-partitionable; use "
+                    "decode_impl='gathered' with a TP mesh"
+                )
+        if decode_impl == "auto":
+            decode_impl = (
+                "gathered" if (quantized or mesh is not None) else "kernel"
+            )
+        self.decode_impl = decode_impl
 
         def prefill_batched(params, images, ids, mask, key):
             """Admission-batch prefill -> ((bp,) tokens, cache-rows dict).
@@ -320,10 +358,13 @@ class PagedGenerationServer:
             return tokens, rows
 
         def _paged(buf):
-            # (L, bp, max_len, ...) -> (L, bp, pages_per_slot, page, ...)
-            return buf.reshape(
+            # (L, bp, max_len, K[, D]) -> (L, bp, P, K, page[, D]) pool layout
+            split = buf.reshape(
                 (n_layers, bp, pages_per_slot, page) + buf.shape[3:]
             )
+            if buf.ndim == 5:  # k/v
+                return jnp.transpose(split, (0, 1, 2, 4, 3, 5))
+            return jnp.transpose(split, (0, 1, 2, 4, 3))  # scales
 
         def scatter_prefill(pools, rows, pages):
             """Write prefilled rows into ``pages`` (bp, pages_per_slot).
@@ -358,11 +399,15 @@ class PagedGenerationServer:
             b = tables.shape[0]
 
             def gather_window(pool):
-                # gather_window — the paged-attention fusion seam.
-                g = pool[:, tables]  # (L, B, P, page, ...)
-                return g.reshape(
-                    (n_layers, b, self._max_len) + pool.shape[3:]
-                )
+                # pool layout (L, P, K, page[, D]) -> logical (L, B, S, K[, D])
+                g = pool[:, tables]  # (L, B, P, K, page[, D])
+                if pool.ndim == 5:
+                    g = jnp.transpose(g, (0, 1, 2, 4, 3, 5))
+                    tail = (pool.shape[2], pool.shape[4])
+                else:  # scales
+                    g = jnp.transpose(g, (0, 1, 2, 4, 3))
+                    tail = (pool.shape[2],)
+                return g.reshape((n_layers, b, self._max_len) + tail)
 
             cache = {
                 "k": gather_window(pools["k"]),
@@ -385,33 +430,68 @@ class PagedGenerationServer:
             page_ids = tables[rows, lengths // page]  # (B,)
             offsets = lengths % page
 
-            def take_new(buf):  # (L, B, S, ...) -> (L, B, ...) at lengths[b]
-                return jax.vmap(
+            def take_new(buf):  # (L, B, S, ...) -> (B, L, ...) at lengths[b]
+                rows_l = jax.vmap(
                     lambda bb, idx: jax.lax.dynamic_slice_in_dim(
                         bb, idx, 1, axis=1
                     ),
                     in_axes=(1, 0), out_axes=1,
                 )(buf, lengths)[:, :, 0]
+                return jnp.moveaxis(rows_l, 0, 1)
 
+            # Pool layout (L, P, K, page[, D]): advanced indices at axes
+            # 1 and 3 are separated by a slice, so the indexed result (and
+            # the .set payload) leads with the batch dim: (B, L, K[, D]).
             out = dict(pools)
-            out["k"] = pools["k"].at[:, page_ids, offsets].set(
+            out["k"] = pools["k"].at[:, page_ids, :, offsets].set(
                 take_new(new_cache["k"]).astype(pools["k"].dtype)
             )
-            out["v"] = pools["v"].at[:, page_ids, offsets].set(
+            out["v"] = pools["v"].at[:, page_ids, :, offsets].set(
                 take_new(new_cache["v"]).astype(pools["v"].dtype)
             )
             if quantized:
-                out["k_scale"] = pools["k_scale"].at[:, page_ids, offsets].set(
+                out["k_scale"] = pools["k_scale"].at[:, page_ids, :, offsets].set(
                     take_new(new_cache["k_scale"])
                 )
-                out["v_scale"] = pools["v_scale"].at[:, page_ids, offsets].set(
+                out["v_scale"] = pools["v_scale"].at[:, page_ids, :, offsets].set(
                     take_new(new_cache["v_scale"])
                 )
             return next_tokens, out
 
+        def decode_tick_kernel(params, pools, tables, masks, lengths, tokens, key):
+            """One decode step via the paged-attention path: the pool is
+            read in place (Pallas kernel on TPU, matched XLA fallback
+            elsewhere — ``ops/attention.paged_attention``); the decoder
+            returns only the new K/V rows, scattered here. No transient
+            window: attention traffic is one read of the allocated pages."""
+            b = tables.shape[0]
+            cache = {
+                "pool_k": pools["k"],
+                "pool_v": pools["v"],
+                "tables": tables,
+                "mask": masks,
+                "index": lengths,
+            }
+            logits, rows = model.apply(
+                {"params": params}, tokens[:, None], cache,
+                method=FastVLM.decode_step_paged,
+            )
+            next_tokens = sample_tokens(logits, key, temp, top_p_)
+            page_ids = tables[jnp.arange(b), lengths // page]  # (B,)
+            offsets = lengths % page
+            out = dict(pools)
+            out["k"] = pools["k"].at[:, page_ids, :, offsets].set(
+                jnp.moveaxis(rows["k_rows"], 0, 1).astype(pools["k"].dtype)
+            )
+            out["v"] = pools["v"].at[:, page_ids, :, offsets].set(
+                jnp.moveaxis(rows["v_rows"], 0, 1).astype(pools["v"].dtype)
+            )
+            return next_tokens, out
+
         self._prefill = jax.jit(prefill_batched)
         self._scatter = jax.jit(scatter_prefill, donate_argnums=(0,))
-        self._decode = jax.jit(decode_tick, donate_argnums=(1,))
+        tick = decode_tick_kernel if self.decode_impl == "kernel" else decode_tick
+        self._decode = jax.jit(tick, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
 
@@ -440,42 +520,55 @@ class PagedGenerationServer:
         """Queue a request: a slot and its worst-case pages are claimed now
         (admission control — never wedge); the prefill itself runs batched
         ``prefill_batch`` at a time at the next ``step``/``flush``."""
+        is_mm = images is not None
+        if self._multimodal is None:
+            self._multimodal = is_mm
+        elif is_mm != self._multimodal:
+            raise ValueError(
+                "all requests in a server must be consistently "
+                "multimodal or text-only"
+            )
         ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
-        if ids.shape[1] != self.prompt_len:
-            raise ValueError(
-                f"prompt must be padded to prompt_len={self.prompt_len}, "
-                f"got {ids.shape[1]}"
-            )
+        bucket = pick_bucket(self.prompt_buckets, ids.shape[1])
+        ids, mask = _pad_to(ids, mask, bucket)
         free = [
             i for i, s in enumerate(self._slots) if not s.active and not s.claimed
         ]
         if not free:
             raise RuntimeError("no free generation slots")
         slot_idx = free[0]
-        prefill_len = self.model.cfg.num_image_tokens + self.prompt_len
+        # Short buckets reserve fewer worst-case pages — bucketing buys
+        # admission capacity as well as prefill compute.
+        prefill_len = self.model.cfg.num_image_tokens + bucket
         self.pool.reserve(slot_idx, prefill_len + self.max_new_tokens)
         self._slots[slot_idx].claimed = True
         rid = self._next_rid
         self._next_rid += 1
-        self._pending.append(_Pending(rid, slot_idx, ids, mask, images))
+        self._pending.append(_Pending(rid, slot_idx, ids, mask, images, bucket))
         return rid
 
     def flush(self) -> None:
-        """Admit queued requests, ``prefill_batch`` per compiled call."""
+        """Admit queued requests, ``prefill_batch`` per compiled call,
+        grouped by prompt bucket (one compiled width per call)."""
         while self._pending:
-            batch = self._pending[: self.prefill_batch]
-            self._pending = self._pending[len(batch):]
+            bucket = self._pending[0].bucket
+            batch = [p for p in self._pending if p.bucket == bucket][
+                : self.prefill_batch
+            ]
+            taken = {id(p) for p in batch}
+            self._pending = [p for p in self._pending if id(p) not in taken]
             self._admit(batch)
 
     def _admit(self, batch: List[_Pending]) -> None:
         bp = self.prefill_batch
         n = len(batch)
+        width = batch[0].bucket
         # Logical prefill width: image tokens + padded prompt (the model
         # advances the cursor by the padded width; see models/fastvlm.py).
-        prefill_len = self.model.cfg.num_image_tokens + self.prompt_len
-        ids = np.zeros((bp, self.prompt_len), np.int32)
-        mask = np.zeros((bp, self.prompt_len), np.int32)
+        prefill_len = self.model.cfg.num_image_tokens + width
+        ids = np.zeros((bp, width), np.int32)
+        mask = np.zeros((bp, width), np.int32)
         # dummy rows keep one real token so last-position indexing is in
         # bounds; their pages stay at the trash page.
         ids[n:, 0] = max(self.eos_token_id, 0)
@@ -488,11 +581,7 @@ class PagedGenerationServer:
         for row, req in enumerate(batch):
             ids[row] = req.input_ids[0]
             mask[row] = req.attention_mask[0]
-            if (req.images is None) != (images is None):
-                raise ValueError(
-                    "all requests in a server must be consistently "
-                    "multimodal or text-only"
-                )
+            # modality consistency was enforced at submit() time
             if images is not None:
                 images[row] = req.images[0]
             self.pool.allocate(req.slot, prefill_len + 1)
@@ -584,10 +673,11 @@ class PagedGenerationServer:
         return finished
 
     def run_to_completion(self, max_ticks: Optional[int] = None) -> Dict[int, List[int]]:
+        """Drain all active slots; ``max_ticks`` bounds decode ticks exactly
+        (a tick past the cap was a round-2 review finding)."""
         outputs: Dict[int, List[int]] = {}
         ticks = 0
         while self.num_active and (max_ticks is None or ticks < max_ticks):
             outputs.update(self.step())
             ticks += 1
-        outputs.update(self.step())
         return outputs
