@@ -149,14 +149,23 @@ def main(args: BenchArgs) -> None:
     else:
         step = jax.jit(model.apply_fn)
 
-    # Model FLOPs per step from XLA's cost model on the compiled program;
-    # feeds the MFU column of BASELINE.md.
-    from vla_fastvlm_tpu.utils.flops import compiled_flops, mfu
+    # Model FLOPs per step, XLA-counted on a scan-UNROLLED abstract twin
+    # (utils/flops.py): the cost model counts a lax.scan body once, so the
+    # production (scanned-decoder) program undercounts by ~num_layers on the
+    # decoder share. Feeds the MFU column of BASELINE.md.
+    from vla_fastvlm_tpu.utils.flops import compiled_flops, fastvlm_serve_flops, mfu
 
     try:
-        step_flops = compiled_flops(
+        step_flops = fastvlm_serve_flops(model, b, int(ids.shape[1]))
+        scanned_flops = compiled_flops(
             step.lower(params, images, ids, mask, states).compile()
         )
+        if scanned_flops:
+            print(
+                f"[bench] flops: {step_flops / 1e9:.1f} GFLOP/step exact vs "
+                f"{scanned_flops / 1e9:.1f} scan-body-once (compiled program)",
+                file=sys.stderr,
+            )
     except Exception as exc:  # pragma: no cover - backend dependent
         print(f"[bench] cost analysis unavailable: {exc}", file=sys.stderr)
         step_flops = None

@@ -39,9 +39,17 @@ def main() -> None:
     from vla_fastvlm_tpu.utils.flops import compiled_flops
 
     batch, image_size, prompt = 8, 1024, 48
+    # scan_layers=False: XLA's cost model counts a lax.scan body ONCE, so
+    # counting on the production scanned program would miss 27/28 of the
+    # decoder FLOPs (round-3 finding; utils/flops.fastvlm_serve_flops).
+    # The estimate published in rounds 1-2 (659 GFLOP/action, 30-90
+    # actions/sec/chip band) had exactly that bug — correct is ~4.5
+    # TFLOP/action at these shapes.
     cfg = FastVLMConfig(
         vision=fastvithd(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16),
-        text=qwen2_7b(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16),
+        text=qwen2_7b(
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, scan_layers=False
+        ),
         image_size=image_size,
     )
     model = FastVLM(cfg)

@@ -47,6 +47,14 @@ class ClosedLoopArgs:
     gym_state_key: str = "state"
     device: Optional[str] = None
     seed: int = 0
+    # Serving-mode knobs for the random-init policy path (BASELINE config #5
+    # at 7B scale: --model-id fastvlm-7b --quantization int8 --fabricate).
+    dtype: str = "float32"
+    quantization: str = "none"
+    fabricate: bool = False
+    # Model input resolution override (None -> preset default); env
+    # observations stay at --image-size and are letterboxed by the policy.
+    model_image_size: Optional[int] = None
     # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).
     dp: int = 1
     tp: int = 1
@@ -159,6 +167,11 @@ def main(args: ClosedLoopArgs) -> None:
                 bootstrap_model_name=args.model_id,
                 state_dim=args.state_dim,
                 action_dim=args.action_dim,
+                image_size=args.model_image_size,
+                dtype=args.dtype,
+                param_dtype=args.dtype,
+                quantization=args.quantization,
+                fabricate_params=args.fabricate,
                 dropout=0.0,
             )
         )

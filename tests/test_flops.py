@@ -5,7 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vla_fastvlm_tpu.utils.flops import compiled_flops, device_peak_flops, mfu
+from vla_fastvlm_tpu.utils.flops import (
+    compiled_flops,
+    device_peak_flops,
+    fastvlm_serve_flops,
+    mfu,
+)
 
 
 class TestCompiledFlops:
@@ -31,6 +36,94 @@ class TestCompiledFlops:
     def test_unknown_device_peak_is_none(self):
         # conftest forces the CPU platform
         assert device_peak_flops(jax.devices()[0]) is None
+
+
+class TestScanUndercount:
+    """Why fastvlm_serve_flops exists: the cost model counts scan bodies once.
+
+    If a future jax/XLA release starts multiplying While bodies by trip
+    count, test_scan_body_counted_once fails — at which point the unrolled
+    counting twin is obsolete and compiled_flops on the production program
+    becomes correct again.
+    """
+
+    def test_scan_body_counted_once(self):
+        n, d = 16, 128
+
+        def body(x, w):
+            return x @ w, ()
+
+        def scanned(x, ws):
+            y, _ = jax.lax.scan(body, x, ws)
+            return y
+
+        compiled = (
+            jax.jit(scanned)
+            .lower(
+                jax.ShapeDtypeStruct((d, d), jnp.float32),
+                jax.ShapeDtypeStruct((n, d, d), jnp.float32),
+            )
+            .compile()
+        )
+        flops = compiled_flops(compiled)
+        one_matmul = 2 * d * d * d
+        # counted once (plus loop overhead), nowhere near n x
+        assert flops < 2.5 * one_matmul, (
+            f"cost model now reports {flops / one_matmul:.1f}x one matmul for "
+            f"a {n}-step scan — scan-unrolled FLOP counting may be obsolete"
+        )
+
+
+@pytest.fixture(scope="module")
+def tiny_policy_model():
+    from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLMWithExpert
+
+    return FastVLMWithExpert(
+        FastVLAConfig(
+            vlm_model_name="fastvlm-tiny",
+            bootstrap_model_name="fastvlm-tiny",
+            state_dim=4,
+            action_dim=4,
+            dropout=0.0,
+        )
+    )
+
+
+class TestServeFlopsExact:
+    def test_exact_exceeds_scanned_and_decoder_floor(self, tiny_policy_model):
+        model = tiny_policy_model
+        batch, prompt = 2, 8
+        exact = fastvlm_serve_flops(model, batch=batch, prompt_len=prompt)
+        assert exact is not None
+        mcfg = model.backbone.model_config
+        tcfg = mcfg.text
+        seq = prompt + mcfg.num_image_tokens
+        head_dim = tcfg.hidden_size // tcfg.num_attention_heads
+        kv_dim = tcfg.num_key_value_heads * head_dim
+        per_layer = (
+            tcfg.hidden_size * (tcfg.hidden_size + 2 * kv_dim)
+            + tcfg.hidden_size * tcfg.hidden_size
+            + 3 * tcfg.hidden_size * tcfg.intermediate_size
+        )
+        decoder_floor = 2 * per_layer * tcfg.num_hidden_layers * seq * batch
+        # exact count includes every decoder layer (plus vision/attention/head)
+        assert exact > decoder_floor
+
+        # and the scanned production program undercounts the decoder
+        import jax as _jax
+
+        step = _jax.jit(model.apply_fn)
+        images = jnp.zeros(
+            (batch, 3, mcfg.image_size, mcfg.image_size), jnp.float32
+        )
+        ids = jnp.zeros((batch, prompt), jnp.int32)
+        mask = jnp.ones((batch, prompt), jnp.int32)
+        states = jnp.zeros((batch, model.config.state_dim), jnp.float32)
+        scanned = compiled_flops(
+            step.lower(model.params, images, ids, mask, states).compile()
+        )
+        if scanned is not None:
+            assert exact > scanned
 
 
 class TestMfu:

@@ -192,6 +192,12 @@ class FastVLMBackbone:
             from ..io.quantize import quantize_params
 
             self.params = quantize_params(self.params)
+        if cfg.fabricate_params:
+            # Fabricated trees are host numpy (quantization must run host-side
+            # for 7B — the float tree does not fit the chip). Place them ONCE:
+            # jitted calls with numpy leaves re-transfer the whole tree every
+            # step, which on the tunnel turns a ~0.5 s 7B step into ~5 min.
+            self.params = jax.device_put(self.params)
         self._jitted_forward = jax.jit(self._forward_impl)
         logger.info(
             "[FastVLMBackbone] expected (S,S) = (%d,%d)",

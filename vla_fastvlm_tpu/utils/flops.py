@@ -53,6 +53,99 @@ def compiled_flops(compiled) -> Optional[float]:
     return float(flops) if flops and flops > 0 else None
 
 
+def fastvlm_serve_flops(
+    model,
+    batch: int,
+    prompt_len: int,
+) -> Optional[float]:
+    """Exact model FLOPs of one policy serving step, XLA-counted.
+
+    ``compiled_flops`` on the *production* program undercounts the decoder:
+    both the CPU and TPU cost models count a ``lax.scan``/While body ONCE,
+    not trip-count times (verified on both backends — a scan of 28 matmuls
+    reports 1x the matmul FLOPs). The production Qwen2 stack scans its
+    layers (``Qwen2Config.scan_layers``), so serve-step MFU computed from
+    the compiled program is ~L-times low on the decoder share.
+
+    This builds an abstract *counting twin* of the policy step — same
+    modules, same shapes, ``scan_layers=False`` so every layer appears in
+    the HLO — AOT-compiles it on the (always-present) CPU backend with
+    abstract params, and reads XLA's cost model. No weights, no execution,
+    no device traffic; the count is a function of shapes only.
+
+    ``model``: a ``FastVLMWithExpert`` (its backbone config and head module
+    are reused, quantization stripped — model FLOPs are float FLOPs by
+    definition). Returns None if the CPU backend or cost analysis is
+    unavailable.
+    """
+    import jax.numpy as jnp
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        return None
+    from ..models.fastvlm import FastVLM, pool_hidden, pool_last_text_token
+
+    mcfg = model.backbone.model_config
+    mcfg = mcfg.replace(
+        text=mcfg.text.replace(scan_layers=False, quantization="none")
+    )
+    twin = FastVLM(mcfg)
+    head = model.head
+    bcfg = model.backbone.config
+    state_dim = model.config.state_dim
+
+    def step(params, head_params, images, ids, mask, states):
+        hidden, _seq_mask, text_mask = twin.apply(
+            {"params": params}, images, ids, mask
+        )
+        if bcfg.image_feature_pool == "mean_pool":
+            feats = pool_hidden(hidden, text_mask, "mean_pool")
+        else:
+            feats = pool_last_text_token(hidden, text_mask)
+        return head.apply(
+            {"params": head_params}, feats, states, deterministic=True
+        )
+
+    if mcfg.num_cameras > 1:
+        img_shape = (batch, mcfg.num_cameras, 3, mcfg.image_size, mcfg.image_size)
+    else:
+        img_shape = (batch, 3, mcfg.image_size, mcfg.image_size)
+    dtype = mcfg.text.dtype
+    try:
+        with jax.default_device(cpu):
+            params_shape = jax.eval_shape(
+                lambda: twin.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1,) + img_shape[1:], dtype),
+                    jnp.zeros((1, 4), jnp.int32),
+                )
+            )["params"]
+            head_shape = jax.eval_shape(
+                lambda: head.init(
+                    jax.random.PRNGKey(1),
+                    jnp.zeros((1, mcfg.text.hidden_size), dtype),
+                    jnp.zeros((1, state_dim), dtype),
+                )
+            )["params"]
+            abstract = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype)
+            compiled = (
+                jax.jit(step)
+                .lower(
+                    jax.tree_util.tree_map(abstract, params_shape),
+                    jax.tree_util.tree_map(abstract, head_shape),
+                    jax.ShapeDtypeStruct(img_shape, dtype),
+                    jax.ShapeDtypeStruct((batch, prompt_len), jnp.int32),
+                    jax.ShapeDtypeStruct((batch, prompt_len), jnp.int32),
+                    jax.ShapeDtypeStruct((batch, state_dim), dtype),
+                )
+                .compile()
+            )
+        return compiled_flops(compiled)
+    except Exception:  # pragma: no cover - backend dependent
+        return None
+
+
 def mfu(
     flops_per_step: Optional[float],
     step_time_s: float,
