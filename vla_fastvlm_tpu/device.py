@@ -20,6 +20,29 @@ _FORCE_ENV = "FASTVLM_FORCE_DEVICE"
 _CACHE_ENV = "FASTVLM_COMPILATION_CACHE"
 
 
+def _host_fingerprint() -> str:
+    """CPU-feature fingerprint partitioning the persistent cache per host.
+
+    XLA:CPU AOT executables are machine-feature-specific, but the cache key
+    is HLO-only — loading an entry written on a host with different ISA
+    extensions SIGILLs the process mid-run (observed live: a cached CPU
+    train step compiled with +prefer-no-gather killed the smoke run on a
+    host without it; cpu_aot_loader logs the mismatch then crashes). TPU
+    entries are tunnel-compiled and safe, but partitioning by host CPU
+    flags is cheap and also correct for them.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig = next((line for line in f if line.startswith("flags")), "")
+    except OSError:
+        import platform
+
+        sig = platform.processor() or platform.machine()
+    return hashlib.sha1(sig.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> Optional[str]:
     """Persist compiled XLA executables across processes.
 
@@ -36,7 +59,8 @@ def enable_compilation_cache(path: str | None = None) -> Optional[str]:
     if env.lower() in ("off", "0", "false", "disabled"):
         return None
     cache_dir = path or (env if env else None) or os.path.join(
-        os.path.expanduser("~"), ".cache", "vla_fastvlm_tpu", "xla_cache"
+        os.path.expanduser("~"), ".cache", "vla_fastvlm_tpu",
+        f"xla_cache-{_host_fingerprint()}",
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
