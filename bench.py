@@ -68,6 +68,11 @@ class BenchArgs:
     #   python bench.py --model-id fastvlm-7b --quantization int8 \
     #       --fabricate --image-size 1024 --batch-size 8
     fabricate: bool = False
+    # Multi-camera observations (>1 stacks ncam views per sample) and action
+    # chunking (>1 emits (chunk, action_dim) per forward) — BASELINE.json
+    # config #4 (multi-camera ALOHA bimanual + chunking head).
+    num_cameras: int = 1
+    chunk_size: int = 1
 
 
 def main(args: BenchArgs) -> None:
@@ -104,6 +109,8 @@ def main(args: BenchArgs) -> None:
         attention_impl=args.attention_impl,
         quantization=args.quantization,
         fabricate_params=args.fabricate,
+        num_cameras=args.num_cameras,
+        chunk_size=args.chunk_size,
         dropout=0.0,
     )
     print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)
@@ -113,8 +120,11 @@ def main(args: BenchArgs) -> None:
 
     b = args.batch_size
     rng = np.random.default_rng(0)
+    img_shape = (b, 3, args.image_size, args.image_size)
+    if args.num_cameras > 1:
+        img_shape = (b, args.num_cameras) + img_shape[1:]
     images = jnp.asarray(
-        rng.random((b, 3, args.image_size, args.image_size), dtype=np.float32)
+        rng.random(img_shape, dtype=np.float32)
     ).astype(model.backbone.model_config.text.dtype)
     ids, mask = model.backbone._prep_text(["pick up the red block\n"] * b)
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
@@ -211,7 +221,9 @@ def main(args: BenchArgs) -> None:
     elapsed = sum(latencies)
     p50 = sorted(latencies)[len(latencies) // 2]
 
-    actions_per_sec = args.iters * b / elapsed / n_chips
+    # Chunked heads emit chunk_size actions per forward (executed open-loop
+    # within the chunk, ACT-style accounting).
+    actions_per_sec = args.iters * b * args.chunk_size / elapsed / n_chips
     step_mfu = mfu(step_flops, p50, n_chips=n_chips)
     print(
         f"[bench] {args.iters} iters x batch {b} in {elapsed:.3f}s "
@@ -223,7 +235,8 @@ def main(args: BenchArgs) -> None:
     result = {
         "metric": (
             f"fastvla {args.model_id} serving throughput "
-            f"(batch {b}, {args.image_size}px, chunk 1"
+            f"(batch {b}, {args.image_size}px, chunk {args.chunk_size}"
+            + (f", {args.num_cameras}cam" if args.num_cameras > 1 else "")
             + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
             + ")"
         ),
