@@ -58,6 +58,10 @@ class ClosedLoopArgs:
     # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).
     dp: int = 1
     tp: int = 1
+    # >1 pipelines env groups against the chip: group g's forward runs on
+    # device while the host steps the other groups' envs (same closed-loop
+    # semantics; see BatchedEnvRunner.run).
+    stagger: int = 1
 
 
 class DummyEnv:
@@ -197,7 +201,9 @@ def main(args: ClosedLoopArgs) -> None:
         tick_times.append(time.perf_counter())
 
     t0 = time.perf_counter()
-    result = runner.run(max_steps=args.max_steps, on_step=on_step)
+    result = runner.run(
+        max_steps=args.max_steps, on_step=on_step, stagger=args.stagger
+    )
     elapsed = time.perf_counter() - t0
 
     deltas = np.diff([t0] + tick_times)

@@ -227,3 +227,64 @@ class TestBatchedEnvRunner:
         assert result["lengths"].tolist() == [2, 4]
         assert result["returns"].tolist() == [2.0, 4.0]
         assert result["done"].all()
+
+    def test_staggered_matches_serial(self, tiny_policy):
+        """stagger>1 pipelines env groups against the device without changing
+        closed-loop semantics: deterministic envs+policy give identical
+        rollouts (group g's actions still come from group g's current obs)."""
+
+        class StatefulEnv:
+            """Obs/reward depend on received actions -> any staleness or
+            group-routing error changes returns."""
+
+            def __init__(self, seed, horizon):
+                self.horizon = horizon
+                self.rng = np.random.default_rng(seed)
+                self.t = 0
+                self.state = np.zeros(4, np.float32)
+                self.base = self.rng.standard_normal((3, 32, 32)).astype(
+                    np.float32
+                )
+
+            def _obs(self):
+                return {
+                    "image": self.base + 0.1 * self.t,
+                    "state": self.state.copy(),
+                }
+
+            def reset(self):
+                self.t = 0
+                self.state = np.zeros(4, np.float32)
+                return self._obs()
+
+            def step(self, action):
+                self.t += 1
+                self.state = 0.5 * self.state + np.asarray(
+                    action[:4], np.float32
+                )
+                reward = float(self.state.sum())
+                return self._obs(), reward, self.t >= self.horizon, {}
+
+        def make_envs():
+            return [StatefulEnv(seed=i, horizon=3 + (i % 2)) for i in range(5)]
+
+        serial = BatchedEnvRunner(
+            make_envs(), ActionQueuePolicy(tiny_policy, 1), task="go"
+        ).run(max_steps=6)
+        ticks = []
+        staggered = BatchedEnvRunner(
+            make_envs(), ActionQueuePolicy(tiny_policy, 1), task="go"
+        ).run(max_steps=6, on_step=lambda a, d: ticks.append(a.copy()), stagger=2)
+        np.testing.assert_allclose(
+            staggered["returns"], serial["returns"], rtol=1e-5
+        )
+        assert staggered["lengths"].tolist() == serial["lengths"].tolist()
+        assert len(ticks) == 4  # max horizon
+        assert all(t.shape == (5, 4) for t in ticks)
+
+    def test_stagger_guard(self, tiny_policy):
+        runner = BatchedEnvRunner(
+            [DummyEnv(horizon=2)], ActionQueuePolicy(tiny_policy, 1)
+        )
+        with pytest.raises(ValueError, match="stagger"):
+            runner.run(max_steps=2, stagger=2)

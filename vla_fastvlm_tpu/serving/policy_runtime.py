@@ -47,15 +47,28 @@ class ActionQueuePolicy:
     def reset(self) -> None:
         self._action_queue: deque = deque([], maxlen=self.n_action_steps)
 
-    def predict_action_chunk(self, batch: Dict[str, Any]) -> np.ndarray:
-        """(B, chunk, action_dim) actions for one observation batch."""
-        actions = self.policy.forward(
+    def dispatch_chunk(self, batch: Dict[str, Any]):
+        """Start one policy forward WITHOUT fetching the result.
+
+        JAX dispatch is asynchronous: the returned device array is a future.
+        The staggered runner uses this to overlap device compute with host
+        env stepping of other groups; pair with ``fetch_chunk``.
+        """
+        return self.policy.forward(
             batch["images"], batch["states"], batch.get("tasks", [""])
         )
-        actions = np.asarray(jax.device_get(actions), dtype=np.float32)
+
+    @staticmethod
+    def fetch_chunk(pending) -> np.ndarray:
+        """Await a ``dispatch_chunk`` result -> (B, chunk, action_dim)."""
+        actions = np.asarray(jax.device_get(pending), dtype=np.float32)
         if actions.ndim == 2:  # chunk_size == 1 policies emit (B, D)
             actions = actions[:, None, :]
         return actions
+
+    def predict_action_chunk(self, batch: Dict[str, Any]) -> np.ndarray:
+        """(B, chunk, action_dim) actions for one observation batch."""
+        return self.fetch_chunk(self.dispatch_chunk(batch))
 
     def select_action(self, batch: Dict[str, Any]) -> np.ndarray:
         """(B, action_dim): next action, refilling the queue when empty."""
@@ -88,21 +101,46 @@ class BatchedEnvRunner:
         self.tasks = [task] * b if isinstance(task, str) else list(task)
         assert len(self.tasks) == b
 
-    def _collect_obs(self, obs_list) -> Dict[str, np.ndarray]:
-        images = np.stack([np.asarray(o["image"], dtype=np.float32) for o in obs_list])
-        states = np.stack([np.asarray(o["state"], dtype=np.float32) for o in obs_list])
-        return {"images": images, "states": states, "tasks": self.tasks}
+    def _collect_obs(self, obs_list, ids=None) -> Dict[str, np.ndarray]:
+        if ids is None:
+            ids = range(len(obs_list))
+        images = np.stack(
+            [np.asarray(obs_list[i]["image"], dtype=np.float32) for i in ids]
+        )
+        states = np.stack(
+            [np.asarray(obs_list[i]["state"], dtype=np.float32) for i in ids]
+        )
+        return {
+            "images": images,
+            "states": states,
+            "tasks": [self.tasks[i] for i in ids],
+        }
 
     def run(
         self,
         max_steps: int,
         on_step: Optional[Any] = None,
+        stagger: int = 1,
     ) -> Dict[str, np.ndarray]:
         """Roll out all envs for up to ``max_steps`` control ticks.
 
         Returns per-env episode returns and lengths; finished envs keep
         receiving (ignored) actions so batch shape stays static for jit.
+
+        ``stagger > 1`` splits the envs into that many groups and software-
+        pipelines them: group g's policy forward is *dispatched* (async) and
+        fetched only after the host has stepped the other groups' envs — the
+        chip computes while the host simulates, hiding env/step + observation
+        staging time behind device time (measured decomposition in
+        BASELINE.md config #5: those were ~2 s of a 4.5 s serial tick at 7B).
+        Closed-loop semantics are unchanged — each group's actions are still
+        computed from its current observations — so results are bit-identical
+        to ``stagger=1`` for deterministic envs/policies (pinned in
+        tests/test_serving.py). Each group runs a batch of B/stagger, which
+        compiles per distinct group size.
         """
+        if stagger > 1:
+            return self._run_staggered(max_steps, on_step, stagger)
         b = len(self.envs)
         obs = [env.reset() for env in self.envs]
         returns = np.zeros(b, np.float64)
@@ -123,6 +161,62 @@ class BatchedEnvRunner:
                 done[i] = bool(env_done)
             if on_step is not None:
                 on_step(actions, done)
+            if done.all():
+                break
+        return {"returns": returns, "lengths": lengths, "done": done}
+
+    def _run_staggered(self, max_steps: int, on_step, stagger: int):
+        b = len(self.envs)
+        if not 1 < stagger <= b:
+            raise ValueError(f"stagger must be in (1, num_envs], got {stagger}")
+        groups = [ids.tolist() for ids in np.array_split(np.arange(b), stagger)]
+        inner = self.policy
+        n_action = inner.n_action_steps
+        action_dim = None
+
+        obs = [env.reset() for env in self.envs]
+        returns = np.zeros(b, np.float64)
+        lengths = np.zeros(b, np.int64)
+        done = np.zeros(b, bool)
+        inner.reset()
+
+        # Per-group action queues (chunking works per group) + in-flight
+        # forwards. Prologue: dispatch every group before the tick loop so
+        # each fetch happens ~one full tick after its dispatch.
+        queues: List[deque] = [deque() for _ in groups]
+        pending: List[Any] = [
+            inner.dispatch_chunk(self._collect_obs(obs, ids)) for ids in groups
+        ]
+
+        for _ in range(max_steps):
+            tick_actions = None
+            for g, ids in enumerate(groups):
+                if not queues[g]:
+                    chunk = inner.fetch_chunk(pending[g])[:, :n_action]
+                    queues[g].extend(np.moveaxis(chunk, 1, 0))
+                    pending[g] = None
+                actions_g = queues[g].popleft()
+                if tick_actions is None:
+                    action_dim = actions_g.shape[-1]
+                    tick_actions = np.zeros((b, action_dim), np.float32)
+                tick_actions[ids] = actions_g
+                for local, i in enumerate(ids):
+                    if done[i]:
+                        continue
+                    obs_i, reward, env_done, _ = self.envs[i].step(
+                        np.asarray(actions_g[local])
+                    )
+                    obs[i] = obs_i
+                    returns[i] += float(reward)
+                    lengths[i] += 1
+                    done[i] = bool(env_done)
+                if not queues[g]:
+                    # Queue drained: start the next forward for this group
+                    # NOW — the host spends the rest of the tick on the other
+                    # groups while the chip computes this one.
+                    pending[g] = inner.dispatch_chunk(self._collect_obs(obs, ids))
+            if on_step is not None:
+                on_step(tick_actions, done)
             if done.all():
                 break
         return {"returns": returns, "lengths": lengths, "done": done}
