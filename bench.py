@@ -366,26 +366,35 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     elapsed = sum(latencies)
     p50 = sorted(latencies)[len(latencies) // 2]
     samples_per_sec = args.iters * b / elapsed / n_chips
+
+    # Exact train-step FLOPs (scan-unrolled counting twin on the CPU
+    # backend — utils/flops.py; the compiled program's own cost model counts
+    # scan bodies once and would be ~L-times low on the decoder).
+    from vla_fastvlm_tpu.utils.flops import fastvlm_train_flops, mfu
+
+    step_flops = fastvlm_train_flops(model, b, int(ids.shape[1]))
+    step_mfu = mfu(step_flops, p50, n_chips=n_chips)
     print(
         f"[bench] train {args.iters} iters x batch {b} in {elapsed:.3f}s "
-        f"(p50 {p50 * 1e3:.1f} ms/step)",
+        f"(p50 {p50 * 1e3:.1f} ms/step)"
+        + (f", {step_flops / 1e9:.1f} GFLOP/step" if step_flops else "")
+        + (f", MFU {step_mfu * 100:.1f}%" if step_mfu is not None else ""),
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"fastvla {args.model_id} train step throughput "
-                    f"(batch {b}, {args.image_size}px"
-                    + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
-                    + ")"
-                ),
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
-            }
-        )
-    )
+    result = {
+        "metric": (
+            f"fastvla {args.model_id} train step throughput "
+            f"(batch {b}, {args.image_size}px"
+            + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
+            + ")"
+        ),
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / A100_EST_ACTIONS_PER_SEC, 3),
+    }
+    if step_mfu is not None:
+        result["mfu"] = round(step_mfu, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

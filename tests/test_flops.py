@@ -9,6 +9,7 @@ from vla_fastvlm_tpu.utils.flops import (
     compiled_flops,
     device_peak_flops,
     fastvlm_serve_flops,
+    fastvlm_train_flops,
     mfu,
 )
 
@@ -124,6 +125,61 @@ class TestServeFlopsExact:
         )
         if scanned is not None:
             assert exact > scanned
+
+
+class TestTrainFlopsExact:
+    def test_train_is_serve_plus_head_backward_only(self, tiny_policy_model):
+        """Frozen-backbone training (reference semantics) backprops only the
+        head: train FLOPs must exceed the forward-only serve count, and the
+        delta must be bounded by the head's own backward (~2x its forward) —
+        NOT by a backbone backward, which would land near 3x serve. The tiny
+        fixture's 1024-wide head is ~half its total FLOPs, so a plain
+        train < 2x serve bound would be wrong here; bound the delta by an
+        AOT-counted head-forward instead."""
+        import jax as _jax
+
+        model = tiny_policy_model
+        batch = 2
+        serve = fastvlm_serve_flops(model, batch=batch, prompt_len=8)
+        train = fastvlm_train_flops(model, batch=batch, prompt_len=8)
+        assert serve is not None and train is not None
+        assert train > serve
+
+        mcfg = model.backbone.model_config
+        head = model.head
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            head_shape = _jax.eval_shape(
+                lambda: head.init(
+                    _jax.random.PRNGKey(1),
+                    jnp.zeros((batch, mcfg.text.hidden_size), jnp.float32),
+                    jnp.zeros((batch, model.config.state_dim), jnp.float32),
+                )
+            )["params"]
+            abstract = lambda s: _jax.ShapeDtypeStruct(s.shape, s.dtype)
+            head_fwd = compiled_flops(
+                _jax.jit(
+                    lambda p, f, s: head.apply(
+                        {"params": p}, f, s, deterministic=True
+                    )
+                )
+                .lower(
+                    _jax.tree_util.tree_map(abstract, head_shape),
+                    _jax.ShapeDtypeStruct(
+                        (batch, mcfg.text.hidden_size), jnp.float32
+                    ),
+                    _jax.ShapeDtypeStruct(
+                        (batch, model.config.state_dim), jnp.float32
+                    ),
+                )
+                .compile()
+            )
+        assert head_fwd is not None
+        # delta = loss + head backward ~= 2x head forward (measured 2.007x);
+        # a frozen backbone contributes nothing. A full-model backward would
+        # put the delta at ~2x serve (~3.6x head_fwd here) instead.
+        delta = train - serve
+        assert 1.5 * head_fwd < delta < 2.5 * head_fwd
 
 
 class TestMfu:

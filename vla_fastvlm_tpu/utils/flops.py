@@ -146,6 +146,98 @@ def fastvlm_serve_flops(
         return None
 
 
+def fastvlm_train_flops(
+    model,
+    batch: int,
+    prompt_len: int,
+) -> Optional[float]:
+    """Exact model FLOPs of one bench train step, XLA-counted.
+
+    Counting twin of ``bench.py --mode train``'s ``train_step``: full-policy
+    forward + MSE loss + gradients w.r.t. the trainable head (the backbone
+    is frozen per reference semantics — ``fastvlm_adapter.py:501`` — so the
+    backward pass touches only the head). Same scan-unrolled AOT-on-CPU
+    methodology as ``fastvlm_serve_flops`` (the cost model counts scan
+    bodies once). The optimizer update (AdamW elementwise over head params)
+    is excluded as negligible. Returns None when the CPU backend or cost
+    analysis is unavailable.
+    """
+    import jax.numpy as jnp
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        return None
+    from ..models.fastvlm import FastVLM, pool_hidden, pool_last_text_token
+
+    mcfg = model.backbone.model_config
+    mcfg = mcfg.replace(
+        text=mcfg.text.replace(scan_layers=False, quantization="none")
+    )
+    twin = FastVLM(mcfg)
+    head = model.head
+    bcfg = model.backbone.config
+    state_dim = model.config.state_dim
+    action_dim = model.config.action_dim
+
+    def loss(head_params, params, images, ids, mask, states, actions):
+        hidden, _seq_mask, text_mask = twin.apply(
+            {"params": params}, images, ids, mask
+        )
+        if bcfg.image_feature_pool == "mean_pool":
+            feats = pool_hidden(hidden, text_mask, "mean_pool")
+        else:
+            feats = pool_last_text_token(hidden, text_mask)
+        preds = head.apply(
+            {"params": head_params}, feats, states, deterministic=True
+        )
+        return jnp.mean(jnp.square(preds - actions.astype(preds.dtype)))
+
+    def train_step(head_params, params, images, ids, mask, states, actions):
+        return jax.value_and_grad(loss)(
+            head_params, params, images, ids, mask, states, actions
+        )
+
+    if mcfg.num_cameras > 1:
+        img_shape = (batch, mcfg.num_cameras, 3, mcfg.image_size, mcfg.image_size)
+    else:
+        img_shape = (batch, 3, mcfg.image_size, mcfg.image_size)
+    dtype = mcfg.text.dtype
+    try:
+        with jax.default_device(cpu):
+            params_shape = jax.eval_shape(
+                lambda: twin.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1,) + img_shape[1:], dtype),
+                    jnp.zeros((1, 4), jnp.int32),
+                )
+            )["params"]
+            head_shape = jax.eval_shape(
+                lambda: head.init(
+                    jax.random.PRNGKey(1),
+                    jnp.zeros((1, mcfg.text.hidden_size), dtype),
+                    jnp.zeros((1, state_dim), dtype),
+                )
+            )["params"]
+            abstract = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype)
+            compiled = (
+                jax.jit(train_step)
+                .lower(
+                    jax.tree_util.tree_map(abstract, head_shape),
+                    jax.tree_util.tree_map(abstract, params_shape),
+                    jax.ShapeDtypeStruct(img_shape, dtype),
+                    jax.ShapeDtypeStruct((batch, prompt_len), jnp.int32),
+                    jax.ShapeDtypeStruct((batch, prompt_len), jnp.int32),
+                    jax.ShapeDtypeStruct((batch, state_dim), dtype),
+                    jax.ShapeDtypeStruct((batch, action_dim), jnp.float32),
+                )
+                .compile()
+            )
+        return compiled_flops(compiled)
+    except Exception:  # pragma: no cover - backend dependent
+        return None
+
+
 def mfu(
     flops_per_step: Optional[float],
     step_time_s: float,
