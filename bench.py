@@ -52,8 +52,8 @@ class BenchArgs:
     # "generate": KV-cached VLM decoding, tokens/sec/chip.
     mode: str = "serve"
     attention_impl: str = "auto"
-    # "int8": weight-only quantized decoder kernels (halves decode weight-HBM
-    # traffic — the small-batch generate bottleneck).
+    # "int8" | "int4": weight-only quantized decoder kernels (2x / 4x less
+    # decode weight-HBM traffic — the small-batch generate bottleneck).
     quantization: str = "none"
     max_new_tokens: int = 64
     # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).

@@ -38,7 +38,7 @@ from vla_fastvlm_tpu.utils.cli import parse_cli
 @dataclass
 class Args:
     model_size: str = "7b"  # "0.5b" | "1.5b" | "7b"
-    quantization: str = "int8"  # "int8" | "none"
+    quantization: str = "int8"  # "int8" | "int4" | "none"
     batch_size: int = 16
     prompt_len: int = 48
     max_new_tokens: int = 32
@@ -110,25 +110,32 @@ def main(args: Args) -> None:
     print(f"[7b-bench] fabricated {n_params / 1e9:.2f}B params "
           f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    if args.quantization == "int8":
+    if args.quantization != "none":
         # Host-side quantization: the params are numpy, so quantize_params
         # takes ops/quant's pure-numpy path — no device staging (the float
         # 7B tree would not fit the chip).
         from vla_fastvlm_tpu.io.quantize import quantize_params
 
         t0 = time.perf_counter()
-        params = quantize_params(params)
+        params = quantize_params(params, mode=args.quantization)
         print(f"[7b-bench] quantized {count_quantized(params)} kernel stacks "
               f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # NB: host numpy stores int4 one-per-byte; on device s4 packs two per
+    # byte — count the device footprint.
+    import jax.numpy as jnp
+
     weight_bytes = sum(
-        leaf.nbytes for leaf in jax.tree_util.tree_leaves(params)
+        leaf.nbytes // 2 if leaf.dtype == jnp.int4 else leaf.nbytes
+        for leaf in jax.tree_util.tree_leaves(params)
     )
     print(f"[7b-bench] device weight footprint {weight_bytes / 1e9:.2f} GB",
           file=sys.stderr)
 
     t0 = time.perf_counter()
-    params = jax.device_put(params, dev)
+    from vla_fastvlm_tpu.device import place_params
+
+    params = place_params(params, dev)  # device_put + int4 layout staging
     jax.block_until_ready(params)
     print(f"[7b-bench] transfer {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

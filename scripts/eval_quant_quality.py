@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""End-task int8 quality evidence (VERDICT r2 #6).
+"""End-task int8/int4 quality evidence (VERDICT r2 #6).
 
 Round 2 pinned int8 error *bounds* on random weights (tests/
 test_quantization.py) — the friendliest case for per-channel absmax. This
@@ -94,6 +94,7 @@ def main(args: Args) -> None:
 
     model_f = build("none")
     model_q = build("int8")
+    model_q4 = build("int4")
 
     images = rng.random(
         (args.num_samples, 3, args.image_size, args.image_size),
@@ -113,7 +114,7 @@ def main(args: Args) -> None:
 
     t0 = time.perf_counter()
     feats = {}
-    for name, m in (("float", model_f), ("int8", model_q)):
+    for name, m in (("float", model_f), ("int8", model_q), ("int4", model_q4)):
         fn = jax.jit(m.backbone.features_fn)
         feats[name] = np.asarray(
             fn(m.backbone.params, imgs_dev, ids, mask), np.float32
@@ -159,18 +160,20 @@ def main(args: Args) -> None:
 
     mse = {}
     preds = {}
-    for name in ("float", "int8"):
+    for name in ("float", "int8", "int4"):
         m, p = eval_mse(head_params, jnp.asarray(feats[name]))
         mse[name] = float(m)
         preds[name] = np.asarray(p)
-    rel_delta = float(
-        np.linalg.norm(preds["int8"] - preds["float"])
-        / max(np.linalg.norm(preds["float"]), 1e-9)
-    )
-    feat_rel = float(
-        np.linalg.norm(feats["int8"] - feats["float"])
-        / max(np.linalg.norm(feats["float"]), 1e-9)
-    )
+
+    def _rel(a, b):
+        return float(
+            np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        )
+
+    rel_delta = _rel(preds["int8"], preds["float"])
+    rel_delta4 = _rel(preds["int4"], preds["float"])
+    feat_rel = _rel(feats["int8"], feats["float"])
+    feat_rel4 = _rel(feats["int4"], feats["float"])
 
     # ---- generation surface: int8 KV (and int8 weights + int8 KV) ----
     from vla_fastvlm_tpu.serving import generate
@@ -208,8 +211,11 @@ def main(args: Args) -> None:
                 "train_mse_float": round(final_loss, 6),
                 "eval_mse_float": round(mse["float"], 6),
                 "eval_mse_int8": round(mse["int8"], 6),
+                "eval_mse_int4": round(mse["int4"], 6),
                 "action_rel_delta_int8": round(rel_delta, 6),
+                "action_rel_delta_int4": round(rel_delta4, 6),
                 "feature_rel_delta_int8": round(feat_rel, 6),
+                "feature_rel_delta_int4": round(feat_rel4, 6),
                 "gen_token_agreement_int8kv": round(agree_kv, 4),
                 "gen_token_agreement_int8w_int8kv": round(agree_both, 4),
                 "gen_last_logit_mse_int8kv": round(logit_mse_kv, 6),

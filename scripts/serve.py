@@ -45,7 +45,7 @@ class ServeArgs:
     seed: int = 0
     # Tensor-parallel mesh size (1 = single chip); shards params + KV cache.
     tp: int = 1
-    # "int8": weight-only quantized decoder kernels (io/quantize.py).
+    # "int8" | "int4": weight-only quantized decoder kernels (io/quantize.py).
     quantization: str = "none"
     # "int8": int8 KV cache storage (dense AND paged servers; 2x slot/page
     # capacity at the same HBM budget).

@@ -78,6 +78,25 @@ class TestShardingRules:
         assert spec_for_param(("vision_tower", "stem_0", "conv", "kernel"), 4) == P()
         assert spec_for_param(("head", "action_head", "kernel"), 2) == P()
 
+    def test_row_split_scale_is_shape_dependent(self):
+        # int4 group scales (K/G, N) on row-split kernels follow the kernel's
+        # contraction split; int8 per-column scales (1, N) replicate.
+        assert spec_for_param(
+            ("self_attn", "o_proj", "scale"), 2, (28, 896)
+        ) == P("model", None)
+        assert spec_for_param(
+            ("mlp", "down_proj", "scale"), 2, (38, 896)
+        ) == P("model", None)
+        assert spec_for_param(("self_attn", "o_proj", "scale"), 2, (1, 896)) == P()
+        # scan-stacked (L, K/G, N): layer axis unsharded.
+        assert spec_for_param(
+            ("layers", "mlp", "down_proj", "scale"), 3, (24, 38, 896)
+        ) == P(None, "model", None)
+        # column-split int4 scales keep the existing output-column rule.
+        assert spec_for_param(
+            ("self_attn", "q_proj", "scale"), 2, (28, 896)
+        ) == P(None, "model")
+
 
 class TestShardedTrainStep:
     def test_sharded_step_matches_single_device(self):

@@ -24,6 +24,7 @@ from vla_fastvlm_tpu.ops.quant import (
     dense_apply,
     fused_dense_apply,
     quantize_kernel,
+    quantize_kernel_int4,
 )
 
 
@@ -95,10 +96,104 @@ class TestQuantizeKernel:
     def test_fused_apply_rejects_mixed_groups(self, rng):
         w1 = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
         ql = quantize_kernel(w1)
-        with pytest.raises(ValueError, match="mixes quantized and float"):
+        with pytest.raises(ValueError, match="mixes kernel kinds"):
             fused_dense_apply(
                 jnp.ones((2, 8)), [ql, {"kernel": w1}], jnp.float32
             )
+        with pytest.raises(ValueError, match="mixes kernel kinds"):
+            fused_dense_apply(
+                jnp.ones((2, 8)), [ql, quantize_kernel_int4(w1)], jnp.float32
+            )
+
+
+class TestQuantizeKernelInt4:
+    def test_roundtrip_error_bound_per_group(self, rng):
+        w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+        q = quantize_kernel_int4(w, group_size=16)
+        assert q["kernel"].dtype == jnp.int4
+        assert q["scale"].shape == (4, 48)  # K/G = 64/16 groups
+        deq = (
+            q["kernel"].astype(jnp.float32).reshape(4, 16, 48)
+            * q["scale"][:, None, :]
+        ).reshape(64, 48)
+        # Symmetric absmax at 4 bits: per-(group, column) error <= scale/2.
+        w_g = np.asarray(w).reshape(4, 16, 48)
+        group_absmax = np.abs(w_g).max(axis=1)
+        err = np.abs(np.asarray(deq).reshape(4, 16, 48) - w_g).max(axis=1)
+        assert np.all(err <= group_absmax / 14.0 + 1e-7)
+
+    def test_group_size_adapts_to_small_k(self, rng):
+        # K=24 < default 128: effective group = gcd(24, 128) = 8.
+        w = jnp.asarray(rng.normal(size=(24, 8)), jnp.float32)
+        q = quantize_kernel_int4(w)
+        assert q["scale"].shape == (3, 8)
+
+    def test_scan_stacked_scales_per_layer_group(self, rng):
+        w = jnp.asarray(rng.normal(size=(3, 32, 8)), jnp.float32)
+        q = quantize_kernel_int4(w, group_size=16)
+        assert q["scale"].shape == (3, 2, 8)
+
+    def test_dense_apply_matches_manual_dequant(self, rng):
+        w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+        leaf = dict(quantize_kernel_int4(w, group_size=8))
+        leaf["bias"] = b
+        y = dense_apply(x, leaf, jnp.float32)
+        deq = (
+            leaf["kernel"].astype(jnp.float32).reshape(4, 8, 16)
+            * leaf["scale"][:, None, :]
+        ).reshape(32, 16)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ deq + b), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fused_apply_matches_separate(self, rng):
+        w1 = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+        l1 = quantize_kernel_int4(w1, group_size=8)
+        l2 = quantize_kernel_int4(w2, group_size=8)
+        fused = fused_dense_apply(x, [l1, l2], jnp.float32)
+        sep = jnp.concatenate(
+            [dense_apply(x, l1, jnp.float32), dense_apply(x, l2, jnp.float32)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(sep), rtol=1e-5, atol=1e-5
+        )
+
+    def test_numpy_path_matches_jnp(self, rng):
+        import ml_dtypes
+
+        w = rng.standard_normal((64, 48)).astype(np.float32) * 0.1
+        q_np = quantize_kernel_int4(w.astype(ml_dtypes.bfloat16), group_size=16)
+        q_j = quantize_kernel_int4(jnp.asarray(w, jnp.bfloat16), group_size=16)
+        assert isinstance(q_np["kernel"], np.ndarray)
+        assert q_np["kernel"].dtype == ml_dtypes.int4
+        np.testing.assert_array_equal(
+            q_np["kernel"].astype(np.int8), np.asarray(q_j["kernel"], np.int8)
+        )
+        np.testing.assert_allclose(
+            q_np["scale"], np.asarray(q_j["scale"]), rtol=1e-6
+        )
+
+    def test_grouped_beats_per_channel_with_outlier_row(self, rng):
+        """The reason int4 scales are grouped: one outlier input row must not
+        collapse the whole column's resolution."""
+        w = rng.standard_normal((64, 16)).astype(np.float32)
+        w[0] *= 50.0  # outlier row
+        x = rng.standard_normal((4, 64)).astype(np.float32)
+        ref = x @ w
+        grouped = dense_apply(
+            jnp.asarray(x), quantize_kernel_int4(jnp.asarray(w), 16), jnp.float32
+        )
+        per_channel = dense_apply(
+            jnp.asarray(x), quantize_kernel_int4(jnp.asarray(w), 64), jnp.float32
+        )
+        err_g = np.abs(np.asarray(grouped) - ref).max()
+        err_c = np.abs(np.asarray(per_channel) - ref).max()
+        assert err_g < err_c
 
 
 class TestQuantizedQwen2:
@@ -184,6 +279,50 @@ class TestQuantizedQwen2:
             {"params": qparams}, ids
         )
         assert np.isfinite(np.asarray(got, np.float32)).all()
+
+    def test_int4_tree_transform_counts(self, lm):
+        cfg, model, params = lm
+        qparams = quantize_params(params, mode="int4")
+        assert count_quantized(qparams) == 7
+        attn = qparams["model"]["layers"]["self_attn"]
+        assert attn["q_proj"]["kernel"].dtype == jnp.int4
+        # (L, K/G, N) per-layer group scales on scan-stacked kernels.
+        assert attn["q_proj"]["scale"].ndim == 3
+        assert attn["q_proj"]["scale"].shape[1] >= 1
+
+    def test_int4_logits_close_to_float(self, lm, rng):
+        cfg, model, params = lm
+        ids = jnp.asarray(rng.integers(3, 500, (2, 12)), jnp.int32)
+        ref = self._logits(cfg, params, ids)
+        qcfg = cfg.replace(quantization="int4")
+        # Tiny hidden sizes degenerate gcd-adapted groups to per-channel;
+        # force real sub-column groups (the production granularity).
+        got = self._logits(
+            qcfg, quantize_params(params, mode="int4", group_size=16), ids
+        )
+        # 4-bit grouped: looser than int8 but still bounded (measured ~0.32x
+        # at group 16 on this fixture; a scale/packing bug lands at O(1)).
+        # Random tiny models are the adversarial case — see BASELINE.md's
+        # int8 end-task section; 0.5B-scale quality is measured there.
+        scale = np.abs(ref).max()
+        assert np.max(np.abs(got - ref)) < 0.4 * scale
+
+    def test_int4_fused_and_unfused_paths_agree(self, lm, rng):
+        cfg, model, params = lm
+        ids = jnp.asarray(rng.integers(3, 500, (2, 6)), jnp.int32)
+        qparams = quantize_params(params, mode="int4")
+        a = self._logits(cfg.replace(quantization="int4"), qparams, ids)
+        b = self._logits(
+            cfg.replace(quantization="int4", fused_projections=False),
+            qparams,
+            ids,
+        )
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    def test_unknown_mode_rejected(self, lm):
+        cfg, model, params = lm
+        with pytest.raises(ValueError, match="unknown quantization mode"):
+            quantize_params(params, mode="int2")
 
     def test_untied_lm_head_quantizes(self, rng):
         cfg = qwen2_tiny(tie_word_embeddings=False)
@@ -295,6 +434,32 @@ class TestQuantizedPolicy:
         from vla_fastvlm_tpu.io.quantize import count_quantized
 
         assert count_quantized(policy.model.backbone.params) == 7
+        image = np.zeros((1, 3, 64, 64), np.float32)
+        state = np.zeros((1, 4), np.float32)
+        action = policy.select_action(image, state, "pick")
+        assert np.asarray(action).shape == (4,)
+        assert np.all(np.isfinite(np.asarray(action)))
+
+    def test_policy_select_action_int4(self):
+        """The full FastVLA policy stack runs with quantization='int4'."""
+        from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLAPolicy
+
+        cfg = FastVLAConfig(
+            vlm_model_name="fastvlm-tiny",
+            bootstrap_model_name="fastvlm-tiny",
+            state_dim=4,
+            action_dim=4,
+            quantization="int4",
+            dropout=0.0,
+        )
+        policy = FastVLAPolicy(cfg)
+        from vla_fastvlm_tpu.io.quantize import count_quantized
+
+        assert count_quantized(policy.model.backbone.params) == 7
+        kernel = policy.model.backbone.params["language_model"]["layers"][
+            "self_attn"
+        ]["q_proj"]["kernel"]
+        assert kernel.dtype == jnp.int4
         image = np.zeros((1, 3, 64, 64), np.float32)
         state = np.zeros((1, 4), np.float32)
         action = policy.select_action(image, state, "pick")

@@ -149,3 +149,60 @@ def tree_to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
     )
+
+
+# TPU s4 arrays are stored packed (two nibbles/byte, tiling (64,128)(8,1)).
+# jax 0.9 cannot RELAYOUT an s4 array: the relayout runs through device_put,
+# which internally jit-compiles a repack, whose own argument handling calls
+# device_put again — "RecursionError: Recursively calling jit" (reproduced
+# live on the v5e tunnel; plain jit args, AOT calls, and explicit-Format
+# device_put all hit it). The escape: never hand jit an s4 array in the
+# wrong layout. Every TPU consumer we lowered (plain dot, grouped einsum,
+# reduce; ranks 2-3) asks for the same canonical format — row-major
+# major_to_minor + this tiling — so a jitted int8->int4 cast whose OUTPUT
+# format is pinned to it produces arrays every downstream program accepts
+# with zero relayout.
+_INT4_TILING = ((64, 128), (8, 1))
+
+
+def _int4_caster(ndim, device, _cache={}):
+    import jax.numpy as jnp
+    from jax.experimental import layout as jl
+
+    key = (ndim, device)
+    if key not in _cache:
+        lay = jl.Layout(
+            major_to_minor=tuple(range(ndim)),
+            tiling=_INT4_TILING,
+            sub_byte_element_size_in_bits=4,
+        )
+        fmt = jl.Format(lay, jax.sharding.SingleDeviceSharding(device))
+        _cache[key] = jax.jit(
+            lambda x: x.astype(jnp.int4), out_shardings=fmt
+        )
+    return _cache[key]
+
+
+def place_params(tree: Any, device: Optional[jax.Device] = None) -> Any:
+    """``jax.device_put`` for a parameter tree, safe for int4 leaves.
+
+    Float/int8 leaves go through plain ``device_put``. int4 leaves on
+    non-CPU backends are staged as int8 nibbles and cast on device with the
+    canonical packed output format (see note above) — the only transfer
+    path that neither materializes a wrong-layout s4 array nor triggers the
+    relayout recursion. CPU backends take the plain path (no tiled layouts
+    there; the virtual-mesh tests exercise it).
+    """
+    import jax.numpy as jnp
+
+    device = device or jax.devices()[0]
+    plain = device.platform == "cpu"
+
+    def put(leaf):
+        dtype = getattr(leaf, "dtype", None)
+        if dtype is not None and dtype == jnp.int4 and not plain:
+            h8 = np.asarray(leaf).astype(np.int8)
+            return _int4_caster(h8.ndim, device)(jax.device_put(h8, device))
+        return jax.device_put(leaf, device)
+
+    return jax.tree_util.tree_map(put, tree)

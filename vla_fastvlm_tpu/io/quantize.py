@@ -19,7 +19,7 @@ from typing import Iterable
 
 import jax.numpy as jnp
 
-from ..ops.quant import quantize_kernel
+from ..ops.quant import quantize_kernel, quantize_kernel_int4
 
 # Qwen2 decoder matmul param names eligible for weight-only quantization.
 DEFAULT_QUANT_NAMES: frozenset = frozenset(
@@ -36,14 +36,31 @@ DEFAULT_QUANT_NAMES: frozenset = frozenset(
 )
 
 
-def quantize_params(params, names: Iterable[str] = DEFAULT_QUANT_NAMES):
-    """Return a copy of ``params`` with matching kernels quantized to int8.
+def quantize_params(
+    params,
+    names: Iterable[str] = DEFAULT_QUANT_NAMES,
+    mode: str = "int8",
+    group_size: int | None = None,
+):
+    """Return a copy of ``params`` with matching kernels quantized.
 
     ``names``: module names whose ``kernel`` (any rank >= 2, so scan-stacked
-    ``(L, K, N)`` kernels qualify) is replaced by int8 + per-output scales.
-    Biases are kept as-is.
+    ``(L, K, N)`` kernels qualify) is replaced by the quantized leaf.
+    ``mode``: ``"int8"`` (per-output-channel scales) or ``"int4"``
+    (per-group scales, 4x fewer weight bytes than bf16 — see
+    ``ops/quant.py``). ``group_size`` overrides the int4 group (default
+    128). Biases are kept as-is.
     """
     names = frozenset(names)
+    if mode == "int8":
+        quantize = quantize_kernel
+    elif mode == "int4":
+        from ..ops.quant import INT4_GROUP
+
+        g = INT4_GROUP if group_size is None else group_size
+        quantize = lambda kernel: quantize_kernel_int4(kernel, g)
+    else:
+        raise ValueError(f"unknown quantization mode {mode!r}")
 
     def walk(node, name: str | None):
         if not isinstance(node, dict):
@@ -57,7 +74,7 @@ def quantize_params(params, names: Iterable[str] = DEFAULT_QUANT_NAMES):
             and jnp.issubdtype(node["kernel"].dtype, jnp.floating)
         ):
             out = dict(node)
-            out.update(quantize_kernel(node["kernel"]))
+            out.update(quantize(node["kernel"]))
             return out
         return {key: walk(value, key) for key, value in node.items()}
 
@@ -65,7 +82,7 @@ def quantize_params(params, names: Iterable[str] = DEFAULT_QUANT_NAMES):
 
 
 def count_quantized(params) -> int:
-    """Number of int8 kernels in the tree (for tests/logging)."""
+    """Number of quantized (int8/int4) kernels in the tree."""
     count = 0
 
     def walk(node):
@@ -73,7 +90,9 @@ def count_quantized(params) -> int:
         if isinstance(node, dict):
             kernel = node.get("kernel")
             if kernel is not None and getattr(kernel, "dtype", None) is not None:
-                if kernel.dtype.kind == "i":
+                # NB: ml_dtypes int4's numpy kind is "V", not "i" — match the
+                # dtype directly.
+                if kernel.dtype.kind == "i" or kernel.dtype == jnp.int4:
                     count += 1
             for value in node.values():
                 walk(value)

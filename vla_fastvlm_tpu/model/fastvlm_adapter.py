@@ -189,15 +189,33 @@ class FastVLMBackbone:
                     "quantization is inference-only: incompatible with "
                     "train_backbone=True"
                 )
+            from ..device import place_params, tree_to_host
             from ..io.quantize import quantize_params
 
-            self.params = quantize_params(self.params)
+            if cfg.quantization == "int4":
+                # int4 must quantize HOST-side then stage through
+                # ``place_params``: a jit call cannot relayout an s4
+                # argument, and s4 device arrays cannot D2H-fetch on this
+                # backend (device.py note) — so never create one except as
+                # the canonical-layout output of the staging cast.
+                self.params = place_params(
+                    quantize_params(
+                        tree_to_host(self.params), mode="int4"
+                    )
+                )
+            else:
+                self.params = quantize_params(
+                    self.params, mode=cfg.quantization
+                )
         if cfg.fabricate_params:
             # Fabricated trees are host numpy (quantization must run host-side
             # for 7B — the float tree does not fit the chip). Place them ONCE:
             # jitted calls with numpy leaves re-transfer the whole tree every
             # step, which on the tunnel turns a ~0.5 s 7B step into ~5 min.
-            self.params = jax.device_put(self.params)
+            # (place_params = device_put + the int4 layout staging.)
+            from ..device import place_params
+
+            self.params = place_params(self.params)
         self._jitted_forward = jax.jit(self._forward_impl)
         logger.info(
             "[FastVLMBackbone] expected (S,S) = (%d,%d)",

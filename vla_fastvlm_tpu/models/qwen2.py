@@ -57,12 +57,13 @@ class Qwen2Config:
     # tree is unchanged (kernels are concatenated inside the jitted fn), so
     # checkpoints and the HF weight converter are unaffected.
     fused_projections: bool = True
-    # Weight-only int8 serving mode ("none" | "int8"): matmul kernels are
-    # stored int8 with per-output-channel scales (``ops/quant.py``), halving
-    # the HBM weight traffic that bounds small-batch decode. Apply with a
-    # tree produced by ``io/quantize.quantize_params``; training and init
-    # always use float params. No reference equivalent (the reference serves
-    # eager torch fp32/bf16) — TPU-native extension, flag-gated.
+    # Weight-only quantized serving mode ("none" | "int8" | "int4"): matmul
+    # kernels are stored int8 (per-output-channel scales) or int4
+    # (per-group-of-128 scales) — 2x / 4x less HBM weight traffic than bf16,
+    # the bound on small-batch decode (``ops/quant.py``). Apply with a tree
+    # produced by ``io/quantize.quantize_params``; training and init always
+    # use float params. No reference equivalent (the reference serves eager
+    # torch fp32/bf16) — TPU-native extension, flag-gated.
     quantization: str = "none"
     # KV cache storage ("none" | "int8"): int8 halves persistent cache HBM
     # (per-position-per-head scales; quantize at write, dequantize at read).

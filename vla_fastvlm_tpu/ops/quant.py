@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization primitives (inference serving mode).
+"""Weight-only int8/int4 quantization primitives (inference serving mode).
 
 The reference has no quantized path (its serving loop runs eager torch
 bf16/fp32, reference ``lerobot_fastvla/modeling_fastvla.py:113-125``); this is
@@ -26,6 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 INT8_MAX = 127.0
+INT4_MAX = 7.0
+# Group size along the contraction (K) axis for int4 scales. Per-channel
+# absmax is too coarse at 4 bits (one outlier row collapses the whole
+# column's resolution); per-group-of-128 is the standard w4 recipe and 128
+# matches the MXU contraction tile, so the grouped matmul's inner dots stay
+# full-width.
+INT4_GROUP = 128
 
 
 def quantize_kernel(kernel) -> dict:
@@ -54,6 +61,70 @@ def quantize_kernel(kernel) -> dict:
     return {"kernel": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_kernel_int4(kernel, group_size: int = INT4_GROUP) -> dict:
+    """Float kernel (..., K, N) -> {"kernel": int4, "scale": f32 (..., K/G, N)}.
+
+    Symmetric absmax per (group-of-``G``-input-rows, output column), where
+    ``G = gcd(K, group_size)`` — exactly ``group_size`` for every Qwen2
+    production shape (hidden/intermediate sizes are multiples of 128), and a
+    divisor of K otherwise (tiny test models). Storage is ``jnp.int4`` —
+    XLA packs two values per byte in HBM, so a decode step streams 4x fewer
+    weight bytes than bf16.
+
+    numpy inputs quantize host-side (same rationale as ``quantize_kernel``:
+    a float 7B tree cannot stage through the chip).
+    """
+    import math
+
+    if kernel.ndim < 2:
+        raise ValueError(f"expected a matmul kernel (..., K, N), got {kernel.shape}")
+    *lead, K, N = kernel.shape
+    group_size = math.gcd(K, group_size)
+    kg = K // group_size
+    if isinstance(kernel, np.ndarray):
+        k32 = np.asarray(kernel, np.float32).reshape(*lead, kg, group_size, N)
+        absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
+        scale = np.where(absmax > 0, absmax / INT4_MAX, 1.0)
+        q = np.clip(np.round(k32 / scale), -INT4_MAX, INT4_MAX)
+        import ml_dtypes
+
+        return {
+            "kernel": q.reshape(kernel.shape).astype(ml_dtypes.int4),
+            "scale": scale[..., 0, :].astype(np.float32),
+        }
+    k32 = jnp.asarray(kernel, jnp.float32).reshape(*lead, kg, group_size, N)
+    absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / INT4_MAX, 1.0)
+    q = jnp.clip(jnp.round(k32 / scale), -INT4_MAX, INT4_MAX)
+    return {
+        "kernel": q.reshape(kernel.shape).astype(jnp.int4),
+        "scale": scale[..., 0, :].astype(jnp.float32),
+    }
+
+
+def _int4_matmul(x: jnp.ndarray, kernel, scale, dtype) -> jnp.ndarray:
+    """x @ dequant(kernel) with per-(group, column) scales, no HBM dequant.
+
+    Grouped formulation: the dot splits into K/G partial dots of contraction
+    G; each partial output picks up its group's scale before the sum over
+    groups. The int4->bf16 convert feeds the dot operand directly (as with
+    int8) and the scales apply to (..., K/G, N) partial sums — a dequantized
+    bf16 copy of the weights never materializes.
+    """
+    if kernel.ndim != 2:
+        raise ValueError(
+            "int4 apply expects a per-layer (K, N) kernel (scan-stacked "
+            f"trees slice per step), got {kernel.shape}"
+        )
+    K, N = kernel.shape
+    kg = scale.shape[-2]
+    group = K // kg
+    xg = x.astype(dtype).reshape(x.shape[:-1] + (kg, group))
+    qg = kernel.astype(dtype).reshape(kg, group, N)
+    partial = jnp.einsum("...gk,gkn->...gn", xg, qg)
+    return (partial * scale.astype(dtype)).sum(axis=-2)
+
+
 def dense_apply(x: jnp.ndarray, leaf: dict, dtype) -> jnp.ndarray:
     """Apply a maybe-quantized Dense param leaf: x @ W (+ bias).
 
@@ -64,6 +135,8 @@ def dense_apply(x: jnp.ndarray, leaf: dict, dtype) -> jnp.ndarray:
     if kernel.dtype == jnp.int8:
         y = x.astype(dtype) @ kernel.astype(dtype)
         y = y * leaf["scale"].astype(dtype)
+    elif kernel.dtype == jnp.int4:
+        y = _int4_matmul(x, kernel, leaf["scale"], dtype)
     else:
         y = x.astype(dtype) @ kernel.astype(dtype)
     bias = leaf.get("bias")
@@ -104,14 +177,27 @@ def fused_dense_apply(x: jnp.ndarray, leaves: list, dtype) -> jnp.ndarray:
 
     Biases: leaves may carry "bias" (all or none).
     """
-    quantized = [leaf["kernel"].dtype == jnp.int8 for leaf in leaves]
-    if any(quantized) and not all(quantized):
-        raise ValueError("fused projection group mixes quantized and float kernels")
+    kinds = {
+        "int8" if leaf["kernel"].dtype == jnp.int8
+        else "int4" if leaf["kernel"].dtype == jnp.int4
+        else "float"
+        for leaf in leaves
+    }
+    if len(kinds) > 1:
+        raise ValueError(
+            f"fused projection group mixes kernel kinds {sorted(kinds)}"
+        )
+    kind = kinds.pop()
     kcat = jnp.concatenate([leaf["kernel"] for leaf in leaves], axis=-1)
-    if all(quantized):
+    if kind == "int8":
         y = x.astype(dtype) @ kcat.astype(dtype)
         scale = jnp.concatenate([leaf["scale"] for leaf in leaves], axis=-1)
         y = y * scale.astype(dtype)
+    elif kind == "int4":
+        # scales are (..., K/G, N_i): output-column concat composes the same
+        # way the kernels do.
+        scale = jnp.concatenate([leaf["scale"] for leaf in leaves], axis=-1)
+        y = _int4_matmul(x, kcat, scale, dtype)
     else:
         y = x.astype(dtype) @ kcat.astype(dtype)
     if "bias" in leaves[0]:

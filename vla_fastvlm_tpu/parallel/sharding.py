@@ -62,8 +62,25 @@ def _path_names(path) -> tuple[str, ...]:
     return tuple(names)
 
 
-def spec_for_param(path_names: tuple[str, ...], ndim: int) -> P:
-    """PartitionSpec for one parameter, right-aligned to its rank."""
+def spec_for_param(
+    path_names: tuple[str, ...], ndim: int, shape: tuple = ()
+) -> P:
+    """PartitionSpec for one parameter, right-aligned to its rank.
+
+    ``shape`` disambiguates the one shape-dependent case: row-split kernels'
+    (o_proj/down_proj) ``scale`` leaves. int8 scales are per-output-column
+    ``(..., 1, N)`` and replicate; int4 group scales are ``(..., K/G, N)``
+    whose group axis must follow the kernel's contraction split.
+    """
+    if (
+        path_names[-1:] == ("scale",)
+        and path_names[-2:-1] in (("o_proj",), ("down_proj",))
+        and len(shape) >= 2
+        and shape[-2] > 1
+    ):
+        pad = ndim - 2
+        if pad >= 0:
+            return P(*([None] * pad + [MODEL_AXIS, None]))
     for suffix, spec in _TP_RULES:
         if path_names[-len(suffix):] == suffix:
             pad = ndim - len(spec)
@@ -77,7 +94,12 @@ def param_shardings(mesh: Mesh, params: Dict) -> Dict:
     """Pytree of NamedShardings matching ``params``."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, spec_for_param(_path_names(path), getattr(leaf, "ndim", 0))
+            mesh,
+            spec_for_param(
+                _path_names(path),
+                getattr(leaf, "ndim", 0),
+                tuple(getattr(leaf, "shape", ())),
+            ),
         ),
         params,
     )
@@ -96,7 +118,24 @@ def batch_shardings(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def shard_params(mesh: Mesh, params: Dict) -> Dict:
-    """Place a parameter pytree onto the mesh per the TP rules."""
+    """Place a parameter pytree onto the mesh per the TP rules.
+
+    int4 leaves are rejected on TPU meshes for now: jax 0.9 cannot relayout
+    an s4 array (see ``device.py``'s layout-staging note), and the
+    mesh-placement path has no Format-pinned staging yet. Use int8 for
+    TP-sharded serving, int4 for single-chip. CPU meshes (the virtual-mesh
+    tests) have no tiled layouts and pass through.
+    """
+    import jax.numpy as jnp
+
+    if any(d.platform == "tpu" for d in mesh.devices.flat):
+        for leaf in jax.tree_util.tree_leaves(params):
+            if getattr(leaf, "dtype", None) == jnp.int4:
+                raise NotImplementedError(
+                    "int4 params on a TPU mesh: s4 relayout is broken in "
+                    "jax 0.9 (device.py note); use quantization='int8' for "
+                    "TP or int4 on a single chip"
+                )
     shardings = param_shardings(mesh, params)
     return jax.device_put(params, shardings)
 
