@@ -281,6 +281,85 @@ def test_7b_full_policy_int8_aot_single_chip_and_mesh():
 
 
 @pytest.mark.slow
+def test_7b_int4_decode_tp_compiles_on_mesh():
+    """Weight-only int4 under TP: packed-s4 7B decoder kernels and their
+    per-group-of-128 scales shard over the ``model`` axis (group scales on
+    row-split kernels follow the contraction split) and one decode step
+    AOT-compiles DP=2 x TP=4 with collectives on the virtual v5e-8 mesh —
+    the same layouts ``parallel.shard_params`` places at runtime via the
+    Format-pinned staging cast (``device.stage_int4``)."""
+    from vla_fastvlm_tpu.io.quantize import quantize_params
+    from vla_fastvlm_tpu.models.qwen2 import (
+        Qwen2ForCausalLM,
+        init_kv_cache,
+        qwen2_7b,
+    )
+    from vla_fastvlm_tpu.parallel import cache_shardings
+
+    cfg = qwen2_7b(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                   quantization="int4")
+    model = Qwen2ForCausalLM(cfg)
+
+    float_shapes = jax.eval_shape(
+        lambda: Qwen2ForCausalLM(cfg.replace(quantization="none")).init(
+            jax.random.PRNGKey(0), input_ids=jnp.zeros((1, 4), jnp.int32)
+        )["params"]
+    )
+    qshapes = jax.eval_shape(
+        lambda p: quantize_params(p, mode="int4"), float_shapes
+    )
+    attn = qshapes["model"]["layers"]["self_attn"]
+    assert attn["q_proj"]["kernel"].dtype == jnp.int4
+    # Per-group scales: (L, K/128, N) — 3584/128 = 28 groups.
+    assert attn["o_proj"]["scale"].shape == (28, 28, 3584)
+
+    mesh = make_mesh(data=2, model=4)
+    shardings = param_shardings(mesh, qshapes)
+    # Row-split o_proj: kernel splits K on model, group scales follow it.
+    assert shardings["model"]["layers"]["self_attn"]["o_proj"]["kernel"].spec[-2] == "model"
+    assert shardings["model"]["layers"]["self_attn"]["o_proj"]["scale"].spec[-2] == "model"
+    # Column-split gate_proj: kernel and scales split N on model.
+    mlp_sh = shardings["model"]["layers"]["mlp"]
+    assert mlp_sh["gate_proj"]["kernel"].spec[-1] == "model"
+    assert mlp_sh["gate_proj"]["scale"].spec[-1] == "model"
+
+    abstract_params = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        qshapes, shardings,
+    )
+    b, max_len = 16, 80
+    cache_shape = jax.eval_shape(lambda: init_kv_cache(cfg, b, max_len))
+    cache_sh = cache_shardings(mesh, cache_shape)
+    abstract_cache = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        cache_shape, cache_sh,
+    )
+    data_sharding = NamedSharding(mesh, batch_spec())
+    tok = jax.ShapeDtypeStruct((b, 1), jnp.int32, sharding=data_sharding)
+
+    def decode(params, tok, cache):
+        logits, _, cache = model.apply(
+            {"params": params}, input_ids=tok, cache=cache
+        )
+        return logits[:, -1], cache
+
+    with mesh:
+        compiled = (
+            jax.jit(decode).lower(abstract_params, tok, abstract_cache).compile()
+        )
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo or "all-gather" in hlo or "reduce-scatter" in hlo
+
+    # Per-chip int4 decoder share: packed s4 = nbytes/2 host-side accounting.
+    packed = sum(
+        (np.prod(s.shape) + 1) // 2 if s.dtype == jnp.int4
+        else np.prod(s.shape) * s.dtype.itemsize
+        for s in jax.tree_util.tree_leaves(qshapes)
+    )
+    assert packed / 4 < 2.5e9, packed
+
+
+@pytest.mark.slow
 def test_7b_int8_decode_compiles_single_device():
     """7B weight-only int8 fits and compiles on ONE chip (the single-v5e
     serving shape bf16 cannot reach: ~15.2 GB bf16 vs ~7.5 GB int8+scales).

@@ -525,3 +525,59 @@ class TestQuantizedSharding:
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-4
         )
+
+    def test_sharded_int4_forward(self, rng):
+        """int4 2-way TP forward == single-device int4 forward.
+
+        On the CPU virtual mesh this takes shard_params' plain path (no
+        tiled layouts on CPU) and pins the GSPMD propagation through the
+        grouped matmul's K->(groups, G) reshape and the group-scale specs;
+        the TPU Format-staging path (device.stage_int4) is exercised live
+        on the chip (see BASELINE.md int4 section).
+        """
+        from vla_fastvlm_tpu.parallel.mesh import make_mesh
+        from vla_fastvlm_tpu.parallel.sharding import shard_params
+
+        cfg = qwen2_tiny(quantization="int4")
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.asarray(rng.integers(3, 500, (2, 6)), jnp.int32)
+        fparams = Qwen2ForCausalLM(qwen2_tiny()).init(
+            jax.random.PRNGKey(0), ids
+        )["params"]
+        qparams = quantize_params(fparams, mode="int4")
+        ref, _, _ = model.apply({"params": qparams}, ids)
+
+        mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+        sharded = shard_params(mesh, qparams)
+        with mesh:
+            got, _, _ = jax.jit(
+                lambda p, i: model.apply({"params": p}, i)
+            )(sharded, ids)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-4
+        )
+
+    def test_sharded_int4_group_scale_follows_row_split(self):
+        """A production-shaped (K=256, G=128 -> kg=2) int4 o_proj kernel's
+        group scales shard on model with the kernel's contraction split,
+        and shard_params places both without error."""
+        from vla_fastvlm_tpu.parallel.mesh import make_mesh
+        from vla_fastvlm_tpu.parallel.sharding import param_shardings, shard_params
+
+        k = np.random.default_rng(0).normal(size=(256, 32)).astype(np.float32)
+        leaf = quantize_kernel_int4(k)
+        tree = {"self_attn": {"o_proj": leaf}}
+        mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+        sh = param_shardings(mesh, tree)
+        assert sh["self_attn"]["o_proj"]["kernel"].spec[0] == "model"
+        assert sh["self_attn"]["o_proj"]["scale"].spec == ("model", None)
+        placed = shard_params(mesh, tree)
+        assert placed["self_attn"]["o_proj"]["kernel"].dtype == jnp.int4
+
+        # Indivisible group count (K=384 -> 3 groups over model=2, the 0.5B
+        # o_proj shape class): the scale replicates instead of erroring.
+        k3 = np.random.default_rng(1).normal(size=(384, 32)).astype(np.float32)
+        tree3 = {"self_attn": {"o_proj": quantize_kernel_int4(k3)}}
+        sh3 = param_shardings(mesh, tree3)
+        assert all(ax is None for ax in sh3["self_attn"]["o_proj"]["scale"].spec)
+        shard_params(mesh, tree3)  # places without divisibility errors

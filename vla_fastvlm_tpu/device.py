@@ -165,22 +165,62 @@ def tree_to_host(tree: Any) -> Any:
 _INT4_TILING = ((64, 128), (8, 1))
 
 
-def _int4_caster(ndim, device, _cache={}):
+def _int4_caster(ndim, sharding, _cache={}):
     import jax.numpy as jnp
     from jax.experimental import layout as jl
 
-    key = (ndim, device)
+    key = (ndim, sharding)
     if key not in _cache:
         lay = jl.Layout(
             major_to_minor=tuple(range(ndim)),
             tiling=_INT4_TILING,
             sub_byte_element_size_in_bits=4,
         )
-        fmt = jl.Format(lay, jax.sharding.SingleDeviceSharding(device))
+        fmt = jl.Format(lay, sharding)
         _cache[key] = jax.jit(
             lambda x: x.astype(jnp.int4), out_shardings=fmt
         )
     return _cache[key]
+
+
+def stage_int4(leaf, sharding) -> jax.Array:
+    """Place one int4 leaf under ``sharding`` without an s4 relayout.
+
+    Host/CPU leaves stage as int8 nibbles ``device_put`` under ``sharding``
+    and cast on device into the canonical packed Format (the note above).
+    TPU-resident s4 leaves — committed or not (e.g. produced by running
+    ``quantize_params`` on the default device) — cannot take that path (s4
+    cannot D2H-fetch on this backend); they are already in the canonical
+    format — the only way an s4 device array exists under our invariant —
+    so the same Format-pinned cast runs on them directly as an identity
+    repack. That in-place path requires the leaf's devices to be inside
+    ``sharding``'s (true for the 1-chip mesh and any mesh built over the
+    default device); re-placing a device s4 tree onto a disjoint mesh is
+    unsupported — quantize host-side and pass the host tree instead.
+    """
+    if (
+        isinstance(leaf, jax.Array)
+        and not isinstance(leaf, jax.core.Tracer)
+        and any(d.platform != "cpu" for d in leaf.devices())
+    ):
+        lay = leaf.format.layout
+        if (
+            lay.major_to_minor != tuple(range(leaf.ndim))
+            or lay._sub_byte_element_size_in_bits != 4
+        ):
+            # A non-canonical device s4 array is unrescuable (no D2H, no
+            # relayout). quantize_kernel_int4 pins the canonical Format for
+            # every concrete TPU array it creates, so this only fires on s4
+            # arrays minted outside this codebase's staging paths.
+            raise ValueError(
+                "TPU-resident int4 array in non-canonical layout "
+                f"{lay}: cannot be re-placed (jax 0.9 s4 relayout bug, see "
+                "device.py). Quantize host-side, or create s4 arrays via "
+                "quantize_kernel_int4 / place_params."
+            )
+        return _int4_caster(leaf.ndim, sharding)(leaf)
+    h8 = np.asarray(leaf).astype(np.int8)
+    return _int4_caster(h8.ndim, sharding)(jax.device_put(h8, sharding))
 
 
 def place_params(tree: Any, device: Optional[jax.Device] = None) -> Any:
@@ -201,8 +241,7 @@ def place_params(tree: Any, device: Optional[jax.Device] = None) -> Any:
     def put(leaf):
         dtype = getattr(leaf, "dtype", None)
         if dtype is not None and dtype == jnp.int4 and not plain:
-            h8 = np.asarray(leaf).astype(np.int8)
-            return _int4_caster(h8.ndim, device)(jax.device_put(h8, device))
+            return stage_int4(leaf, jax.sharding.SingleDeviceSharding(device))
         return jax.device_put(leaf, device)
 
     return jax.tree_util.tree_map(put, tree)

@@ -96,10 +96,34 @@ def quantize_kernel_int4(kernel, group_size: int = INT4_GROUP) -> dict:
     absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
     scale = jnp.where(absmax > 0, absmax / INT4_MAX, 1.0)
     q = jnp.clip(jnp.round(k32 / scale), -INT4_MAX, INT4_MAX)
+    q8 = q.reshape(kernel.shape).astype(jnp.int8)
     return {
-        "kernel": q.reshape(kernel.shape).astype(jnp.int4),
+        "kernel": _concrete_to_int4(q8),
         "scale": scale[..., 0, :].astype(jnp.float32),
     }
+
+
+def _concrete_to_int4(q8):
+    """int8 nibbles -> s4, keeping the canonical-layout invariant.
+
+    Under a trace, or on CPU backends (no tiled layouts), a plain ``astype``
+    is correct. A *concrete* array on a TPU-class backend must NOT go
+    through eager ``astype``: XLA picks an arbitrary s4 layout there, and
+    jax 0.9 can never relayout an s4 array afterwards (``device.py``'s
+    staging note) — every device s4 array in this codebase is required to
+    be in the canonical packed Format. Route those through the same
+    Format-pinned cast ``device.place_params`` uses.
+    """
+    import jax
+
+    if isinstance(q8, jax.core.Tracer) or not isinstance(q8, jax.Array):
+        return q8.astype(jnp.int4)
+    if all(d.platform == "cpu" for d in q8.devices()):
+        return q8.astype(jnp.int4)
+    from ..device import _int4_caster
+
+    device = next(iter(q8.devices()))
+    return _int4_caster(q8.ndim, jax.sharding.SingleDeviceSharding(device))(q8)
 
 
 def _int4_matmul(x: jnp.ndarray, kernel, scale, dtype) -> jnp.ndarray:

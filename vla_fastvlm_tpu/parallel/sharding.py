@@ -63,14 +63,23 @@ def _path_names(path) -> tuple[str, ...]:
 
 
 def spec_for_param(
-    path_names: tuple[str, ...], ndim: int, shape: tuple = ()
+    path_names: tuple[str, ...],
+    ndim: int,
+    shape: tuple = (),
+    model_size: int | None = None,
 ) -> P:
     """PartitionSpec for one parameter, right-aligned to its rank.
 
     ``shape`` disambiguates the one shape-dependent case: row-split kernels'
     (o_proj/down_proj) ``scale`` leaves. int8 scales are per-output-column
     ``(..., 1, N)`` and replicate; int4 group scales are ``(..., K/G, N)``
-    whose group axis must follow the kernel's contraction split.
+    whose group axis must follow the kernel's contraction split —
+    *when it divides* the model-axis size (``model_size``; 7B's 28 groups
+    over TP=4 do). An indivisible group count (0.5B's K=896 -> 7 groups
+    over TP=2) replicates the scale instead: GSPMD then all-gathers that
+    kernel at its grouped reshape, trading o_proj/down_proj row-locality
+    for correctness at non-multiple-of-(G*tp) hidden sizes. Production 7B
+    shapes divide cleanly; callers without a mesh keep the sharded spec.
     """
     if (
         path_names[-1:] == ("scale",)
@@ -79,8 +88,10 @@ def spec_for_param(
         and shape[-2] > 1
     ):
         pad = ndim - 2
-        if pad >= 0:
+        if pad >= 0 and (model_size is None or shape[-2] % model_size == 0):
             return P(*([None] * pad + [MODEL_AXIS, None]))
+        if pad >= 0:
+            return P()
     for suffix, spec in _TP_RULES:
         if path_names[-len(suffix):] == suffix:
             pad = ndim - len(spec)
@@ -99,6 +110,7 @@ def param_shardings(mesh: Mesh, params: Dict) -> Dict:
                 _path_names(path),
                 getattr(leaf, "ndim", 0),
                 tuple(getattr(leaf, "shape", ())),
+                model_size=int(mesh.shape.get(MODEL_AXIS, 1)),
             ),
         ),
         params,
@@ -120,24 +132,28 @@ def batch_shardings(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
 def shard_params(mesh: Mesh, params: Dict) -> Dict:
     """Place a parameter pytree onto the mesh per the TP rules.
 
-    int4 leaves are rejected on TPU meshes for now: jax 0.9 cannot relayout
-    an s4 array (see ``device.py``'s layout-staging note), and the
-    mesh-placement path has no Format-pinned staging yet. Use int8 for
-    TP-sharded serving, int4 for single-chip. CPU meshes (the virtual-mesh
-    tests) have no tiled layouts and pass through.
+    int4 leaves on TPU meshes route through ``device.stage_int4`` (jax 0.9
+    cannot relayout an s4 array — ``device.py``'s layout-staging note): host
+    int4 leaves stage as int8 nibbles placed under the mesh sharding and
+    cast on device into the canonical packed Format; already-placed device
+    s4 leaves (canonical format by invariant) repack in place, which
+    requires their device to be inside the mesh (always true for meshes
+    built over the default device set). CPU meshes (the virtual-mesh tests)
+    have no tiled layouts and pass through plain ``device_put``.
     """
     import jax.numpy as jnp
 
-    if any(d.platform == "tpu" for d in mesh.devices.flat):
-        for leaf in jax.tree_util.tree_leaves(params):
-            if getattr(leaf, "dtype", None) == jnp.int4:
-                raise NotImplementedError(
-                    "int4 params on a TPU mesh: s4 relayout is broken in "
-                    "jax 0.9 (device.py note); use quantization='int8' for "
-                    "TP or int4 on a single chip"
-                )
     shardings = param_shardings(mesh, params)
-    return jax.device_put(params, shardings)
+    if not any(d.platform == "tpu" for d in mesh.devices.flat):
+        return jax.device_put(params, shardings)
+    from ..device import stage_int4
+
+    def put(leaf, sharding):
+        if getattr(leaf, "dtype", None) == jnp.int4:
+            return stage_int4(leaf, sharding)
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree_util.tree_map(put, params, shardings)
 
 
 def cache_shardings(mesh: Mesh, cache: Dict[str, Any]) -> Dict[str, Any]:
