@@ -45,6 +45,7 @@ class Args:
     page_size: int = 16
     ticks: int = 20
     warmup: int = 4
+    kv_cache_quantization: str = "none"  # "int8" halves pool bytes everywhere
     dtype: str = "bfloat16"
     device: str | None = None
     impls: str = "dense,gathered,kernel"  # comma-separated subset
@@ -166,6 +167,7 @@ def main(args: Args) -> None:
             force_image_size=args.image_size,
             dtype=args.dtype,
             param_dtype=args.dtype,
+            kv_cache_quantization=args.kv_cache_quantization,
         )
     )
     model, params = backbone.model, backbone.params

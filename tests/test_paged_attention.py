@@ -60,6 +60,31 @@ class TestKernelExactness:
             np.asarray(got), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
         )
 
+    def test_interpret_int8_pool_matches_fallback(self):
+        """int8 pools: the kernel's stage-time dequant (per-position x
+        kv-head scales) agrees with the XLA fallback's gather-then-dequant
+        on the same quantized pools."""
+        from vla_fastvlm_tpu.ops.quant import dequantize_kv, quantize_kv
+
+        q, pk, pv, tables, mask, lengths, kn, vn = _setup(seed=3)
+        pk_q, pk_s = quantize_kv(pk)  # (P, K, page, D) int8 + (P, K, page)
+        pv_q, pv_s = quantize_kv(pv)
+        # New rows arrive dequant-roundtripped (the model quantizes them for
+        # the pool scatter and attends with what the pool will hold).
+        kn_dq = dequantize_kv(*quantize_kv(kn), jnp.float32)
+        vn_dq = dequantize_kv(*quantize_kv(vn), jnp.float32)
+        ref = paged_attention(
+            q, pk_q, pv_q, tables, mask, lengths, kn_dq, vn_dq,
+            pool_k_scale=pk_s, pool_v_scale=pv_s, impl="xla",
+        )
+        got = paged_attention_decode(
+            q[:, 0], pk_q, pv_q, tables, mask, kn_dq[:, 0], vn_dq[:, 0],
+            pool_k_scale=pk_s, pool_v_scale=pv_s, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
+        )
+
     def test_gqa_grouping(self):
         # 6 query heads over 2 kv heads (rep=3).
         q, pk, pv, tables, mask, lengths, kn, vn = _setup(n=6, kv=2, seed=1)
@@ -89,7 +114,12 @@ class TestKernelExactness:
 
     def test_supports_gating(self):
         assert not supports_paged_kernel((8, 2, 16, 64), 4, jnp.float32, "cpu")
+        # Bare int8 pools (no scales) have no dequant story; with the scale
+        # pools along (kv_cache_quantization="int8") the kernel applies.
         assert not supports_paged_kernel((8, 2, 16, 64), 4, jnp.int8, "tpu")
+        assert supports_paged_kernel(
+            (8, 2, 16, 64), 4, jnp.int8, "tpu", has_scales=True
+        )
         assert not supports_paged_kernel((8, 2, 4, 64), 4, jnp.float32, "tpu")
         assert not supports_paged_kernel((8, 2, 16, 48), 4, jnp.float32, "tpu")
         assert not supports_paged_kernel((8, 3, 16, 64), 4, jnp.float32, "tpu")
@@ -146,12 +176,46 @@ class TestKernelServerPath:
                 np.asarray(got[rid]), np.asarray(ref[rid]), err_msg=f"req {rid}"
             )
 
-    def test_kernel_rejects_int8_pool(self, vlm):
+    def test_kernel_decode_matches_gathered_int8_pool(self, vlm):
+        """int8 pools through the kernel tick (round 3): quantized pages +
+        scale pools flow through ``decode_step_paged`` and the per-row
+        quantize-for-scatter, emitting exactly the gathered int8 program's
+        tokens. (On CPU both routes share the XLA fallback math; the Pallas
+        int8 staging itself is pinned in TestKernelExactness and measured
+        on-chip — BASELINE.md.)"""
         cfg, model, params = vlm
         qcfg = cfg.replace(text=cfg.text.replace(kv_cache_quantization="int8"))
         qmodel = FastVLM(qcfg)
-        with pytest.raises(ValueError, match="int8"):
-            PagedGenerationServer(
-                qmodel, params, num_slots=2, prompt_len=8,
-                max_new_tokens=4, page_size=4, decode_impl="kernel",
+        prompt_len, new = 8, 6
+        rng = np.random.default_rng(13)
+        reqs = []
+        for _ in range(4):
+            length = int(rng.integers(2, prompt_len + 1))
+            ids = np.zeros((1, prompt_len), np.int32)
+            mask = np.zeros((1, prompt_len), np.int32)
+            ids[0, :length] = rng.integers(3, 100, length)
+            mask[0, :length] = 1
+            img = rng.random((1, 3, cfg.image_size, cfg.image_size), np.float32)
+            reqs.append((ids, mask, img))
+
+        def run(impl):
+            server = PagedGenerationServer(
+                qmodel, params, num_slots=3, prompt_len=prompt_len,
+                max_new_tokens=new, eos_token_id=-1, page_size=4,
+                decode_impl=impl,
+            )
+            outputs = {}
+            for ids, mask, img in reqs:
+                while not server.has_free_slot():
+                    outputs.update(server.step())
+                server.submit(ids, mask, img)
+            outputs.update(server.run_to_completion())
+            return outputs
+
+        ref = run("gathered")
+        got = run("kernel")
+        assert sorted(ref) == sorted(got)
+        for rid in ref:
+            np.testing.assert_array_equal(
+                np.asarray(got[rid]), np.asarray(ref[rid]), err_msg=f"req {rid}"
             )

@@ -148,6 +148,30 @@ class TestQuantizeKernelInt4:
             np.asarray(y), np.asarray(x @ deq + b), rtol=1e-5, atol=1e-5
         )
 
+    def test_prefill_formulation_matches_grouped(self, rng):
+        """The fused-dequant (prefill) formulation that kicks in at
+        INT4_DEQUANT_MIN_TOKENS produces the same values as the grouped
+        (decode) formulation — only the schedule differs, never the math."""
+        from vla_fastvlm_tpu.ops import quant
+
+        w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        leaf = quantize_kernel_int4(w, group_size=8)
+        x_big = jnp.asarray(
+            rng.normal(size=(quant.INT4_DEQUANT_MIN_TOKENS, 32)), jnp.float32
+        )
+        y_prefill = dense_apply(x_big, leaf, jnp.float32)
+        # Force the grouped path on the same inputs by dropping the
+        # threshold below the token count.
+        orig = quant.INT4_DEQUANT_MIN_TOKENS
+        try:
+            quant.INT4_DEQUANT_MIN_TOKENS = x_big.shape[0] + 1
+            y_grouped = dense_apply(x_big, leaf, jnp.float32)
+        finally:
+            quant.INT4_DEQUANT_MIN_TOKENS = orig
+        np.testing.assert_allclose(
+            np.asarray(y_prefill), np.asarray(y_grouped), rtol=1e-5, atol=1e-5
+        )
+
     def test_fused_apply_matches_separate(self, rng):
         w1 = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
         w2 = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)

@@ -8,6 +8,7 @@ escape hatch is honored (reference ``device.py:11,17``).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Literal, Optional
 
@@ -165,10 +166,40 @@ def tree_to_host(tree: Any) -> Any:
 _INT4_TILING = ((64, 128), (8, 1))
 
 
+def _disable_persistent_cache_for_s4(_done=[]):
+    """The persistent compilation cache corrupts s4-argument executables.
+
+    Measured on the v5e tunnel (two-process repro, round 3): an executable
+    with an s4 input DESERIALIZED from the persistent cache reports the
+    correct canonical input Format via ``input_formats`` but still decides
+    at dispatch that the (exactly-matching) argument needs a relayout —
+    landing in the s4 ``device_put`` RecursionError above. Fresh compiles
+    of the identical HLO run fine, with either matmul formulation, so the
+    defect is in PJRT executable (de)serialization of sub-byte layouts,
+    not in our programs. Until that is fixed upstream, any process that
+    mints TPU s4 arrays stops using the persistent cache (fresh compiles
+    only — correctness over the warm-start win for int4 CLIs).
+    """
+    if _done:
+        return
+    _done.append(True)
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_enable_compilation_cache", False)
+            logging.getLogger(__name__).warning(
+                "int4 staging: persistent XLA compilation cache disabled for "
+                "this process (s4 executables do not survive cache "
+                "deserialization on this backend; see device.py)"
+            )
+    except Exception:  # pragma: no cover - config knob missing
+        pass
+
+
 def _int4_caster(ndim, sharding, _cache={}):
     import jax.numpy as jnp
     from jax.experimental import layout as jl
 
+    _disable_persistent_cache_for_s4()
     key = (ndim, sharding)
     if key not in _cache:
         lay = jl.Layout(

@@ -257,11 +257,13 @@ class FastVLM(nn.Module):
 
         ``cache`` carries the page pool itself: ``{"pool_k","pool_v"}``
         (L, P, K, page, D), ``"tables"`` (B, P_slot), ``"mask"`` (B, S_max)
-        stored validity, ``"index"`` (B,) write cursors. Attention reads
+        stored validity, ``"index"`` (B,) write cursors; int8 pools add
+        ``{"pool_k_scale","pool_v_scale"}`` (L, P, K, page). Attention reads
         pages via the table inside the Pallas kernel (``ops/pallas/
         paged_attention.py``) — no transient gathered window; the decoder
         never writes the pool. Returns ``(logits, rows)`` with ``rows``
-        = {"k_rows","v_rows"}: (L, B, K, D) for the server to scatter.
+        = {"k_rows","v_rows"}: (L, B, K, D) for the server to scatter
+        (+ {"k_scale_rows","v_scale_rows"}: (L, B, K) under int8).
         """
         hidden, rows, tied = self.language_model(
             input_ids=input_ids,

@@ -209,11 +209,29 @@ class Qwen2Attention(nn.Module):
             # the tick, keeping the decoder pool-read-only.
             from ..ops.attention import paged_attention
 
-            out = paged_attention(
-                q, cache_k, cache_v, page_tables, kv_mask, cache_index,
-                k, v, impl=cfg.attention_impl,
-            )
-            new_cache = (k[:, 0], v[:, 0], None, None)
+            if cache_k_scale is not None:
+                # int8 pool: quantize the new row for the server's scatter
+                # and attend with its dequant-roundtrip, so this tick sees
+                # exactly what the next tick will read back from the pool
+                # (matching the dense int8 cache's write-then-read order).
+                from ..ops.quant import dequantize_kv, quantize_kv
+
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                out = paged_attention(
+                    q, cache_k, cache_v, page_tables, kv_mask, cache_index,
+                    dequantize_kv(k_q, k_s, q.dtype),
+                    dequantize_kv(v_q, v_s, q.dtype),
+                    pool_k_scale=cache_k_scale, pool_v_scale=cache_v_scale,
+                    impl=cfg.attention_impl,
+                )
+                new_cache = (k_q[:, 0], v_q[:, 0], k_s[:, 0], v_s[:, 0])
+            else:
+                out = paged_attention(
+                    q, cache_k, cache_v, page_tables, kv_mask, cache_index,
+                    k, v, impl=cfg.attention_impl,
+                )
+                new_cache = (k[:, 0], v[:, 0], None, None)
             out = out.reshape(b, t, n * d)
             if quantized:
                 return dense_apply(
@@ -411,7 +429,10 @@ class Qwen2Model(nn.Module):
             attn_kv_mask = kv_mask
             cache_k, cache_v = cache["pool_k"], cache["pool_v"]
             cache_index = cache["index"]
-            cache_ks = cache_vs = None
+            # int8 pools carry (L, P, K, page) scale pools; the kernel
+            # dequantizes pages while staging (ops/pallas/paged_attention).
+            cache_ks = cache.get("pool_k_scale")
+            cache_vs = cache.get("pool_v_scale")
             page_tables = cache["tables"]
         elif cache is not None:
             # KV-cached decode: arbitrary query positions vs the whole cache
@@ -500,8 +521,12 @@ class Qwen2Model(nn.Module):
         new_cache = None
         if paged:
             # (L, B, K, D) new K/V rows for the caller to scatter into the
-            # pool at (tables[b, index // page], index % page).
+            # pool at (tables[b, index // page], index % page); int8 pools
+            # add the rows' (L, B, K) scales for the scale-pool scatter.
             new_cache = {"k_rows": new_k, "v_rows": new_v}
+            if new_kscale is not None:
+                new_cache["k_scale_rows"] = new_kscale
+                new_cache["v_scale_rows"] = new_vscale
         elif cache is not None:
             new_cache = {
                 "k": new_k,

@@ -82,28 +82,39 @@ def paged_attention(
     k_new: jnp.ndarray,  # (B, 1, K, D) current token K (post-RoPE)
     v_new: jnp.ndarray,  # (B, 1, K, D)
     *,
+    pool_k_scale: jnp.ndarray | None = None,  # (P_total, K, page) int8 pools
+    pool_v_scale: jnp.ndarray | None = None,
     scale: float | None = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Decode attention against a paged KV pool -> (B, 1, N, D).
 
     Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``) reads
-    pages via the table inside the kernel (no transient gathered window);
-    everywhere it does not apply (CPU, int8 pools, ``impl="xla"``) the
-    fallback gathers the logical window per layer and reproduces the dense
-    decode path's exact op sequence (insert-at-cursor + slot-causal bias), so
+    pages via the table inside the kernel (no transient gathered window) —
+    int8 pools included, dequantizing per page while staging (pass the scale
+    pools); everywhere it does not apply (CPU, ``impl="xla"``) the fallback
+    gathers the logical window per layer and reproduces the dense decode
+    path's exact op sequence (insert-at-cursor + slot-causal bias), so
     greedy tokens match the gathered server bit-for-bit on the same backend.
+    For int8 pools ``k_new``/``v_new`` must be the dequant-roundtripped new
+    row (the caller quantized it for the pool scatter), matching the dense
+    int8 path's write-then-read numerics.
     """
+    quantized = pool_k_scale is not None
     if impl in ("auto", "flash"):
         from .pallas.paged_attention import (
             paged_attention_decode,
             supports_paged_kernel,
         )
 
-        if supports_paged_kernel(pool_k.shape, q.shape[2], pool_k.dtype):
+        if supports_paged_kernel(
+            pool_k.shape, q.shape[2], pool_k.dtype, has_scales=quantized
+        ):
             out = paged_attention_decode(
                 q[:, 0], pool_k, pool_v, tables, kv_mask,
-                k_new[:, 0], v_new[:, 0], scale=scale,
+                k_new[:, 0], v_new[:, 0],
+                pool_k_scale=pool_k_scale, pool_v_scale=pool_v_scale,
+                scale=scale,
             )
             return out[:, None]
 
@@ -113,15 +124,30 @@ def paged_attention(
     b = q.shape[0]
 
     def gather(pool):
-        g = pool[tables]  # (B, P_slot, K, page, D)
-        g = jnp.transpose(g, (0, 1, 3, 2, 4))  # (B, P_slot, page, K, D)
-        return g.reshape(b, s_max, pool.shape[1], pool.shape[3])
+        g = pool[tables]  # (B, P_slot, K, page[, D])
+        if pool.ndim == 4:
+            g = jnp.transpose(g, (0, 1, 3, 2, 4))  # (B, P_slot, page, K, D)
+            return g.reshape(b, s_max, pool.shape[1], pool.shape[3])
+        g = jnp.transpose(g, (0, 1, 3, 2))  # scales: (B, P_slot, page, K)
+        return g.reshape(b, s_max, pool.shape[1])
 
     insert = jax.vmap(
         lambda buf, new, idx: jax.lax.dynamic_update_slice(buf, new, (idx, 0, 0))
     )
-    win_k = insert(gather(pool_k), k_new.astype(pool_k.dtype), lengths)
-    win_v = insert(gather(pool_v), v_new.astype(pool_v.dtype), lengths)
+    if quantized:
+        from .quant import dequantize_kv
+
+        win_k = insert(
+            dequantize_kv(gather(pool_k), gather(pool_k_scale), q.dtype),
+            k_new.astype(q.dtype), lengths,
+        )
+        win_v = insert(
+            dequantize_kv(gather(pool_v), gather(pool_v_scale), q.dtype),
+            v_new.astype(q.dtype), lengths,
+        )
+    else:
+        win_k = insert(gather(pool_k), k_new.astype(pool_k.dtype), lengths)
+        win_v = insert(gather(pool_v), v_new.astype(pool_v.dtype), lengths)
     kv_mask_upd = jax.vmap(
         lambda row, idx: jax.lax.dynamic_update_slice(
             row, jnp.ones((1,), jnp.int32), (idx,)

@@ -30,11 +30,16 @@ Design (see /opt/skills/guides/pallas_guide.md):
   inefficiency (rep x page matmuls) is irrelevant by construction — the
   kernel's job is to touch each allocated byte once.
 
+int8 pools (``kv_cache_quantization="int8"``) run through the same kernel
+shape: the per-(position, kv-head) scale pools ride the page table as two
+extra blocked operands and pages dequantize while staging into the float
+window scratch — the attention HBM read is half the bf16 kernel's bytes.
+
 The mathematically-identical XLA fallback (gather + insert + dense
-attention) lives in ``ops/attention.paged_attention`` and is used on CPU and
-for int8 pools; numerics between kernel and fallback differ only in
-summation order of the softmax (the appended current-token column), pinned
-by ``tests/test_paged_attention.py`` in interpreter mode.
+attention) lives in ``ops/attention.paged_attention`` and is used on CPU;
+numerics between kernel and fallback differ only in summation order of the
+softmax (the appended current-token column), pinned by
+``tests/test_paged_attention.py`` in interpreter mode.
 
 No reference counterpart: the reference has no serving path at all
 (``lerobot_fastvla/modeling_fastvla.py:113-125`` is one eager forward per
@@ -80,6 +85,57 @@ def _paged_attn_kernel(
     k_buf[:, pl.ds(off, page), :] = kpage_ref[0]
     v_buf[:, pl.ds(off, page), :] = vpage_ref[0]
 
+    _attend_last_page(
+        q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
+        scale=scale, kv_heads=kv_heads,
+    )
+
+
+def _paged_attn_kernel_int8(
+    tables_ref,  # scalar prefetch: (B, P_slot) int32 physical page ids
+    q_ref,  # (1, K, rep, D) grouped queries for slot b
+    kpage_ref,  # (1, K, page, D) one physical int8 K page
+    vpage_ref,  # (1, K, page, D) one physical int8 V page
+    kscale_ref,  # (1, K, page) per-(kv head, position) K scales
+    vscale_ref,  # (1, K, page) per-(kv head, position) V scales
+    mask_ref,  # (1, 1, S_max) int32 validity of stored positions
+    knew_ref,  # (1, K, D) current token's K (already dequant-roundtripped)
+    vnew_ref,  # (1, K, D) current token's V
+    o_ref,  # (1, K, rep, D)
+    k_buf,  # VMEM scratch (K, S_max, D), float
+    v_buf,  # VMEM scratch (K, S_max, D), float
+    *,
+    scale: float,
+    page: int,
+    kv_heads: int,
+):
+    """int8-pool variant: pages dequantize (per-position x kv-head scales,
+    ``ops/quant.quantize_kv`` granularity) while staging into the float
+    window scratch — attention math past that point is identical to the
+    bf16 kernel, so int8 pools keep the one-read-of-allocated-pages
+    traffic story AND halve the bytes of that one read."""
+    p = pl.program_id(1)
+
+    off = pl.multiple_of(p * page, page)
+    k_buf[:, pl.ds(off, page), :] = (
+        kpage_ref[0].astype(jnp.float32) * kscale_ref[0][:, :, None]
+    ).astype(k_buf.dtype)
+    v_buf[:, pl.ds(off, page), :] = (
+        vpage_ref[0].astype(jnp.float32) * vscale_ref[0][:, :, None]
+    ).astype(v_buf.dtype)
+
+    _attend_last_page(
+        q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
+        scale=scale, kv_heads=kv_heads,
+    )
+
+
+def _attend_last_page(
+    q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
+    *, scale: float, kv_heads: int,
+):
+    p = pl.program_id(1)
+
     @pl.when(p == pl.num_programs(1) - 1)
     def _attend():
         valid = mask_ref[0, 0, :] > 0  # (S_max,)
@@ -121,10 +177,21 @@ def paged_attention_decode(
     k_new: jnp.ndarray,  # (B, K, D) current token K (post-RoPE)
     v_new: jnp.ndarray,  # (B, K, D)
     *,
+    pool_k_scale: Optional[jnp.ndarray] = None,  # (P_total, K, page) int8 pools
+    pool_v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One decode step of attention against a paged KV pool -> (B, N, D)."""
+    """One decode step of attention against a paged KV pool -> (B, N, D).
+
+    With ``pool_k_scale``/``pool_v_scale`` the pools are int8
+    (``kv_cache_quantization="int8"``): pages dequantize while staging into
+    the float window scratch, so the attention HBM read is HALF the bf16
+    kernel's bytes. ``k_new``/``v_new`` must arrive already
+    dequant-roundtripped (the model quantizes the new row for the pool
+    scatter and hands the kernel its dequantized value, matching the
+    gathered path's write-then-read numerics).
+    """
     b, n, d = q.shape
     p_total, kv_heads, page, _ = pool_k.shape
     p_slot = tables.shape[1]
@@ -132,6 +199,7 @@ def paged_attention_decode(
     rep = n // kv_heads
     if scale is None:
         scale = d ** -0.5
+    quantized = pool_k_scale is not None
 
     q_g = q.reshape(b, kv_heads, rep, d)
     # Rank-3 mask so the VMEM block's sublane dim equals the array dim
@@ -139,55 +207,69 @@ def paged_attention_decode(
     # (1, S) block of a (B, S) array fails the sublane rule).
     mask_i = kv_mask.astype(jnp.int32)[:, None, :]
 
+    page_spec = pl.BlockSpec(
+        (1, kv_heads, page, d),
+        lambda bi, pi, tab: (tab[bi, pi], 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # Scale blocks ride the same table lookup; their trailing (lane) dim is
+    # the full ``page`` axis, which Mosaic accepts at any size (full-dim).
+    scale_spec = pl.BlockSpec(
+        (1, kv_heads, page),
+        lambda bi, pi, tab: (tab[bi, pi], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, kv_heads, rep, d),
+            lambda bi, pi, tab: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        page_spec,
+        page_spec,
+    ]
+    if quantized:
+        in_specs += [scale_spec, scale_spec]
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, s_max),
+            lambda bi, pi, tab: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, kv_heads, d),
+            lambda bi, pi, tab: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, kv_heads, d),
+            lambda bi, pi, tab: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    scratch_dtype = q.dtype if quantized else pool_k.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, p_slot),
-        in_specs=[
-            pl.BlockSpec(
-                (1, kv_heads, rep, d),
-                lambda bi, pi, tab: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, kv_heads, page, d),
-                lambda bi, pi, tab: (tab[bi, pi], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, kv_heads, page, d),
-                lambda bi, pi, tab: (tab[bi, pi], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, s_max),
-                lambda bi, pi, tab: (bi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, kv_heads, d),
-                lambda bi, pi, tab: (bi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, kv_heads, d),
-                lambda bi, pi, tab: (bi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, kv_heads, rep, d),
             lambda bi, pi, tab: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((kv_heads, s_max, d), pool_k.dtype),
-            pltpu.VMEM((kv_heads, s_max, d), pool_v.dtype),
+            pltpu.VMEM((kv_heads, s_max, d), scratch_dtype),
+            pltpu.VMEM((kv_heads, s_max, d), scratch_dtype),
         ],
     )
 
+    operands = [tables.astype(jnp.int32), q_g, pool_k, pool_v]
+    if quantized:
+        operands += [pool_k_scale, pool_v_scale]
+    operands += [mask_i, k_new, v_new]
     out = pl.pallas_call(
         functools.partial(
-            _paged_attn_kernel,
+            _paged_attn_kernel_int8 if quantized else _paged_attn_kernel,
             scale=scale,
             page=page,
             kv_heads=kv_heads,
@@ -195,7 +277,7 @@ def paged_attention_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kv_heads, rep, d), q.dtype),
         interpret=interpret,
-    )(tables.astype(jnp.int32), q_g, pool_k, pool_v, mask_i, k_new, v_new)
+    )(*operands)
     return out.reshape(b, n, d)
 
 
@@ -204,19 +286,22 @@ def supports_paged_kernel(
     n_heads: int,
     dtype,
     backend: Optional[str] = None,
+    has_scales: bool = False,
 ) -> bool:
     """Static applicability check for the Pallas paged-decode kernel.
 
-    Requirements: TPU backend, int8-free pool (quantized pools take the
-    XLA-gather fallback), ``head_dim % 64 == 0``, whole kv-head grouping,
-    and a sublane-aligned page size (>= 16 covers the bf16 tile minimum).
+    Requirements: TPU backend, ``head_dim % 64 == 0``, whole kv-head
+    grouping, and a sublane-aligned page size (>= 16 covers the bf16 tile
+    minimum). int8 pools are supported when their per-position scale pools
+    ride along (``has_scales``); a bare int8 pool has no dequant story and
+    takes the XLA-gather fallback.
     """
     if backend is None:
         backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
         return False
     _, kv_heads, page, d = pool_k_shape
-    if dtype == jnp.int8:
+    if dtype == jnp.int8 and not has_scales:
         return False
     if d % 64 != 0 or d > 256:
         return False

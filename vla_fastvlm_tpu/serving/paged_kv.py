@@ -19,12 +19,14 @@ with *allocated tokens*, not ``slots x max_len``:
   returns only the new token's K/V rows, which one scatter writes back at
   ``page_table[slot, len // page], len % page`` — attention traffic is one
   read of the allocated pages, and peak memory is the pool alone.
-- **Gathered tick** (``decode_impl="gathered"``; automatic for int8 pools
-  and TP meshes): the round-2 path — gather each slot's pages into the
-  logical ``(L, B, S_max, K, D)`` window and run the dense server's decode
-  program. The gather materializes the window transiently each tick (peak
-  memory pool + window, ~3 extra full-window HBM round trips); kept for the
-  configurations the kernel does not cover yet and as the exactness anchor.
+- **Gathered tick** (``decode_impl="gathered"``; automatic for TP meshes —
+  a pallas_call is not GSPMD-partitionable): the round-2 path — gather each
+  slot's pages into the logical ``(L, B, S_max, K, D)`` window and run the
+  dense server's decode program. The gather materializes the window
+  transiently each tick (peak memory pool + window, ~3 extra full-window
+  HBM round trips); kept for the mesh configuration and as the exactness
+  anchor. int8 pools run through the kernel since round 3 (pages dequantize
+  while staging — half the attention read bytes on top of half the pool).
 
 No reference counterpart: the reference has no serving/generation path at
 all (its policy is one eager forward per env step, reference
@@ -313,11 +315,6 @@ class PagedGenerationServer:
         if decode_impl not in ("auto", "kernel", "gathered"):
             raise ValueError(f"unknown decode_impl {decode_impl!r}")
         if decode_impl == "kernel":
-            if quantized:
-                raise ValueError(
-                    "decode_impl='kernel' does not support int8 pools yet; "
-                    "use decode_impl='gathered' with kv_cache_quantization"
-                )
             if mesh is not None:
                 raise ValueError(
                     "decode_impl='kernel' is single-(logical-)chip: a "
@@ -325,9 +322,7 @@ class PagedGenerationServer:
                     "decode_impl='gathered' with a TP mesh"
                 )
         if decode_impl == "auto":
-            decode_impl = (
-                "gathered" if (quantized or mesh is not None) else "kernel"
-            )
+            decode_impl = "gathered" if mesh is not None else "kernel"
         self.decode_impl = decode_impl
 
         def prefill_batched(params, images, ids, mask, key):
@@ -472,6 +467,9 @@ class PagedGenerationServer:
                 "mask": masks,
                 "index": lengths,
             }
+            if quantized:
+                cache["pool_k_scale"] = pools["k_scale"]
+                cache["pool_v_scale"] = pools["v_scale"]
             logits, rows = model.apply(
                 {"params": params}, tokens[:, None], cache,
                 method=FastVLM.decode_step_paged,
@@ -486,6 +484,15 @@ class PagedGenerationServer:
             out["v"] = pools["v"].at[:, page_ids, :, offsets].set(
                 jnp.moveaxis(rows["v_rows"], 0, 1).astype(pools["v"].dtype)
             )
+            if quantized:
+                # Scale pools are (L, P, K, page); same advanced-index
+                # layout as the value pools minus the trailing D.
+                out["k_scale"] = pools["k_scale"].at[
+                    :, page_ids, :, offsets
+                ].set(jnp.moveaxis(rows["k_scale_rows"], 0, 1))
+                out["v_scale"] = pools["v_scale"].at[
+                    :, page_ids, :, offsets
+                ].set(jnp.moveaxis(rows["v_scale_rows"], 0, 1))
             return next_tokens, out
 
         self._prefill = jax.jit(prefill_batched)
