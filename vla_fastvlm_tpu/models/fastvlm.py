@@ -287,6 +287,27 @@ class FastVLM(nn.Module):
         logits = self._logits(hidden, tied)
         return logits[:, -1, :], new_cache
 
+    def verify_step(self, input_ids: jnp.ndarray, cache: dict):
+        """Multi-token cached decode returning EVERY position's logits.
+
+        The speculative-decoding verify pass (``serving/speculative.py``):
+        (B, W) draft-window ids -> ((B, W, V) logits, cache). Position i's
+        logits depend only on the cache plus window tokens <= i (the cached
+        decode branch builds a slot-causal bias — ``models/qwen2.py``), so
+        the target's greedy continuation of each accepted prefix is read
+        from one forward. The cache advances by W; the caller rolls back
+        the rejected suffix (``speculative.py::_rollback``). No reference
+        counterpart (the reference never generates text).
+        """
+        hidden, new_cache, tied = self.language_model(
+            input_ids=input_ids,
+            attention_mask=jnp.ones_like(input_ids, dtype=jnp.int32),
+            cache=cache,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        return self._logits(hidden, tied), new_cache
+
 
 def pool_hidden(
     hidden: jnp.ndarray,  # (B, T, H)

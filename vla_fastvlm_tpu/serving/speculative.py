@@ -1,0 +1,249 @@
+"""Speculative decoding: a small draft model proposes, the target verifies.
+
+No reference counterpart (the reference never generates text —
+``/root/reference/src/vla_fastvlm/fastvlm_adapter.py`` only pools hidden
+states); this is TPU-native serving infrastructure in the
+draft-verify lineage (PAPERS.md: speculative decoding) for the framework's
+decode-bound deployments — e.g. Qwen2-7B int4/int8 on ONE v5e chip
+(BASELINE.md), where a decode step streams the whole weight set for one
+token. A 0.5B draft proposes ``k`` tokens cheaply; one 7B forward over the
+(k+1)-token window verifies them all, so each target weight-stream pays for
+``accepted + 1`` tokens instead of one.
+
+Greedy-exact by construction: emitted tokens are IDENTICAL to the target
+model's own greedy decode (pinned in ``tests/test_speculative.py``) —
+position ``i`` of the verify window attends only to the cache and window
+tokens ``<= i`` (slot-causal bias, ``models/qwen2.py``), so the target's
+argmax after each accepted prefix is read from one forward regardless of
+the rejected suffix. Precision caveat (same as int8-KV's, BASELINE.md
+quality table): "identical" holds at the math level and bit-exactly
+against ``serving.generate`` on CPU; on TPU the verify window and the
+single-token decode are differently-shaped programs whose bf16 MXU
+summation orders differ, so argmax ties within ~bf16 epsilon can resolve
+differently — immaterial for trained models (greedy margins >> epsilon;
+measure with real checkpoints via the agreement probe in
+``scripts/eval_quant_quality.py``'s style) but visible on random-init
+tiny models whose logits sit in near-ties.
+
+TPU structure (one compiled program per round, static shapes):
+
+- **draft phase**: ``k + 1`` single-token decode steps under ``lax.scan``
+  (the +1 keeps the draft cache covering the full verify window, so an
+  all-accepted round needs no separate draft resync);
+- **verify phase**: one ``FastVLM.verify_step`` over ``[last, d_1..d_k]``;
+- **acceptance**: ``a = leading matches(draft, target)``; the round emits
+  ``a + 1`` tokens (the accepted prefix plus the target's correction) —
+  always >= 1, so progress is guaranteed;
+- **rollback**: both caches wrote the full window; rejected positions are
+  masked off and the write cursors rewind in-program (stale K/V rows are
+  overwritten by later writes and never attended meanwhile).
+
+The host loop only routes tokens (like ``serving/continuous_batching.py``);
+finished rows keep riding the batch with their cursors pinned so the cache
+never overflows. Sampling (temperature > 0) is rejected: exactness is the
+contract here; use ``serving.generate`` for sampled decoding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.fastvlm import FastVLM
+from .generate import build_cache
+
+
+def _rollback(cache: dict, new_index: jnp.ndarray) -> dict:
+    """Rewind a dense KV cache to per-row cursors ``new_index``.
+
+    Positions >= the new cursor are masked invalid; their stale K/V stay in
+    the buffers (never attended, overwritten by the next writes at the same
+    positions). Prompt-padding holes below the cursor keep their False mask
+    (the AND never sets bits).
+    """
+    s = cache["mask"].shape[1]
+    keep = jnp.arange(s, dtype=jnp.int32)[None, :] < new_index[:, None]
+    out = dict(cache)
+    out["mask"] = jnp.logical_and(cache["mask"], keep)
+    out["index"] = new_index
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0, 1),
+    static_argnames=("k",),
+    donate_argnums=(4, 5),  # target_cache, draft_cache
+)
+def _speculative_round(
+    target: FastVLM,
+    draft: FastVLM,
+    target_params,
+    draft_params,
+    target_cache: dict,
+    draft_cache: dict,
+    token: jnp.ndarray,  # (B,) last accepted token per row
+    active: jnp.ndarray,  # (B,) rows still generating (cursor-pinned else)
+    *,
+    k: int,
+):
+    """One draft-verify round -> (emitted (B, k+1), count (B,), caches, token).
+
+    ``emitted[:, :count]`` are the round's tokens in target-greedy order;
+    inactive rows emit nothing (count 0) and their caches do not advance.
+    """
+    b = token.shape[0]
+
+    # --- draft: k+1 autoregressive steps (see module docstring for the +1).
+    def dstep(carry, _):
+        tok, dcache = carry
+        logits, dcache = draft.apply(
+            {"params": draft_params}, tok[:, None], dcache,
+            method=FastVLM.decode_step,
+        )
+        nxt = logits.argmax(-1).astype(jnp.int32)
+        return (nxt, dcache), nxt
+
+    (_, draft_cache), dtoks = jax.lax.scan(
+        dstep, (token, draft_cache), None, length=k + 1
+    )
+    dtoks = dtoks.T[:, :k]  # (B, k); the k+1-th proposal is never verified
+
+    # --- verify: one target forward over [last, d_1..d_k].
+    window = jnp.concatenate([token[:, None], dtoks], axis=1)  # (B, k+1)
+    tlogits, target_cache = target.apply(
+        {"params": target_params}, window, target_cache,
+        method=FastVLM.verify_step,
+    )
+    greedy = tlogits.argmax(-1).astype(jnp.int32)  # (B, k+1)
+
+    # --- acceptance: longest prefix where the draft matched target-greedy.
+    match = (dtoks == greedy[:, :k]).astype(jnp.int32)
+    a = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,) in [0, k]
+
+    # Emitted = accepted draft prefix + the target's correction token.
+    idx = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    correction = jnp.take_along_axis(greedy, a[:, None], axis=1)  # (B, 1)
+    padded = jnp.concatenate([dtoks, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    emitted = jnp.where(idx < a[:, None], padded, correction)
+    count = jnp.where(active, a + 1, 0)
+
+    # --- rollback: both caches wrote the full (k+1) window; keep the
+    # accepted inputs [last, d_1..d_a] (a+1 rows) and rewind the rest.
+    # Inactive rows rewind the whole window (cursor pinned - no overflow).
+    t_new = target_cache["index"] - (k + 1) + jnp.where(active, a + 1, 0)
+    d_new = draft_cache["index"] - (k + 1) + jnp.where(active, a + 1, 0)
+    target_cache = _rollback(target_cache, t_new)
+    draft_cache = _rollback(draft_cache, d_new)
+
+    next_token = jnp.where(active, correction[:, 0], token)
+    return emitted, count, target_cache, draft_cache, next_token
+
+
+class SpeculativeGenerator:
+    """Greedy speculative decoding over a (target, draft) FastVLM pair.
+
+    Both models must share the tokenizer/vocab; the draft may differ in
+    every other dimension (the 0.5B-draft/7B-target pairing is the design
+    point). ``k`` is the draft lookahead per round; per-round cost is
+    ``(k+1) x draft_step + 1 x target_verify(k+1)``, per-round yield is
+    ``accepted + 1 in [1, k+1]`` tokens — the break-even acceptance rate
+    for a given pair is measured by ``scripts/bench_speculative.py``.
+    """
+
+    def __init__(
+        self,
+        target: FastVLM,
+        target_params,
+        draft: FastVLM,
+        draft_params,
+        *,
+        k: int = 4,
+        eos_token_id: int = 2,
+    ):
+        tv = target.cfg.text.vocab_size
+        dv = draft.cfg.text.vocab_size
+        if tv != dv:
+            raise ValueError(
+                f"target/draft vocab mismatch ({tv} vs {dv}): speculative "
+                "decoding requires a shared tokenizer"
+            )
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.target, self.target_params = target, target_params
+        self.draft, self.draft_params = draft, draft_params
+        self.k = int(k)
+        self.eos_token_id = int(eos_token_id)
+
+    def generate(
+        self,
+        images: Optional[jnp.ndarray],
+        input_ids: jnp.ndarray,  # (B, T) right-padded
+        attention_mask: jnp.ndarray,  # (B, T)
+        *,
+        max_new_tokens: int = 32,
+    ) -> np.ndarray:
+        """Greedy decode -> (B, max_new_tokens) ids, eos-padded after each
+        row finishes. Token-identical to ``serving.generate`` at
+        ``temperature=0`` on the target model alone."""
+        b, t = input_ids.shape
+        k = self.k
+        # Cache slack: every round writes k+1 positions before rolling the
+        # rejected suffix back, so the high-water mark is the accepted
+        # length plus one full window.
+        target_cache = build_cache(self.target.cfg, b, t, max_new_tokens + k + 1)
+        draft_cache = build_cache(self.draft.cfg, b, t, max_new_tokens + k + 1)
+
+        t_logits, target_cache = self._prefill(
+            self.target, self.target_params, target_cache,
+            images, input_ids, attention_mask,
+        )
+        _, draft_cache = self._prefill(
+            self.draft, self.draft_params, draft_cache,
+            images, input_ids, attention_mask,
+        )
+        token = t_logits.argmax(-1).astype(jnp.int32)  # (B,) target-greedy
+
+        out = np.full((b, max_new_tokens), self.eos_token_id, np.int64)
+        lengths = np.zeros(b, np.int64)
+        # The prefill's own token is the first emission.
+        first = np.asarray(token)
+        for row in range(b):
+            out[row, 0] = first[row]
+            lengths[row] = 1
+        done = (first == self.eos_token_id) | (max_new_tokens <= 1)
+
+        while not done.all():
+            active = jnp.asarray(~done)
+            emitted, count, target_cache, draft_cache, token = (
+                _speculative_round(
+                    self.target, self.draft,
+                    self.target_params, self.draft_params,
+                    target_cache, draft_cache, token, active, k=k,
+                )
+            )
+            emitted_h = np.asarray(emitted)
+            count_h = np.asarray(count)
+            for row in range(b):
+                if done[row]:
+                    continue
+                for j in range(int(count_h[row])):
+                    tok = int(emitted_h[row, j])
+                    out[row, lengths[row]] = tok
+                    lengths[row] += 1
+                    if tok == self.eos_token_id or lengths[row] >= max_new_tokens:
+                        done[row] = True
+                        break
+        return out
+
+    @staticmethod
+    def _prefill(model, params, cache, images, input_ids, attention_mask):
+        logits, _, cache, _, _ = model.apply(
+            {"params": params}, images, input_ids, attention_mask, cache,
+            method=FastVLM.prefill,
+        )
+        return logits, cache
