@@ -430,7 +430,7 @@ class Qwen2Model(nn.Module):
             cache_k, cache_v = cache["pool_k"], cache["pool_v"]
             cache_index = cache["index"]
             # int8 pools carry (L, P, K, page) scale pools; the kernel
-            # dequantizes pages while staging (ops/pallas/paged_attention).
+            # folds them into scores/probs (ops/pallas/paged_attention).
             cache_ks = cache.get("pool_k_scale")
             cache_vs = cache.get("pool_v_scale")
             page_tables = cache["tables"]

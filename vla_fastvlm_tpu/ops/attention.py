@@ -91,8 +91,8 @@ def paged_attention(
 
     Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``) reads
     pages via the table inside the kernel (no transient gathered window) —
-    int8 pools included, dequantizing per page while staging (pass the scale
-    pools); everywhere it does not apply (CPU, ``impl="xla"``) the fallback
+    int8 pools included, folding the scales into scores/probs in-kernel
+    (pass the scale pools); everywhere it does not apply (CPU, ``impl="xla"``) the fallback
     gathers the logical window per layer and reproduces the dense decode
     path's exact op sequence (insert-at-cursor + slot-causal bias), so
     greedy tokens match the gathered server bit-for-bit on the same backend.

@@ -31,9 +31,10 @@ Design (see /opt/skills/guides/pallas_guide.md):
   kernel's job is to touch each allocated byte once.
 
 int8 pools (``kv_cache_quantization="int8"``) run through the same kernel
-shape: the per-(position, kv-head) scale pools ride the page table as two
-extra blocked operands and pages dequantize while staging into the float
-window scratch — the attention HBM read is half the bf16 kernel's bytes.
+shape: pages stage as a pure int8->float convert and the per-(position,
+kv-head) scales — gathered into per-slot windows outside the kernel — fold
+into the attention scores/probabilities, so the attention HBM read is half
+the bf16 kernel's bytes with no per-page scale DMAs.
 
 The mathematically-identical XLA fallback (gather + insert + dense
 attention) lives in ``ops/attention.paged_attention`` and is used on CPU;
@@ -96,8 +97,8 @@ def _paged_attn_kernel_int8(
     q_ref,  # (1, K, rep, D) grouped queries for slot b
     kpage_ref,  # (1, K, page, D) one physical int8 K page
     vpage_ref,  # (1, K, page, D) one physical int8 V page
-    kscale_ref,  # (1, K, page) per-(kv head, position) K scales
-    vscale_ref,  # (1, K, page) per-(kv head, position) V scales
+    kscale_ref,  # (1, K, S_max) per-(kv head, position) K scale WINDOW
+    vscale_ref,  # (1, K, S_max) per-(kv head, position) V scale WINDOW
     mask_ref,  # (1, 1, S_max) int32 validity of stored positions
     knew_ref,  # (1, K, D) current token's K (already dequant-roundtripped)
     vnew_ref,  # (1, K, D) current token's V
@@ -109,30 +110,34 @@ def _paged_attn_kernel_int8(
     page: int,
     kv_heads: int,
 ):
-    """int8-pool variant: pages dequantize (per-position x kv-head scales,
-    ``ops/quant.quantize_kv`` granularity) while staging into the float
-    window scratch — attention math past that point is identical to the
-    bf16 kernel, so int8 pools keep the one-read-of-allocated-pages
-    traffic story AND halve the bytes of that one read."""
+    """int8-pool variant: pages stage as a pure int8->float convert (int8
+    magnitudes are exact in bf16) and the per-(position, kv-head) scales —
+    ``ops/quant.quantize_kv`` granularity — fold into the attention math
+    instead of the staged values: ``q . (s*k) = s * (q . k)`` scales the
+    score columns, ``sum_i p_i (s_i v_i) = sum_i (p_i s_i) v_i`` scales the
+    probabilities. The scales arrive as per-slot windows gathered OUTSIDE
+    the kernel (a few hundred KB of XLA gather), loaded once per slot like
+    the mask — NOT per page: a (K, page) f32 scale block is ~128 bytes, and
+    one extra DMA pair per grid program measurably dominated the first
+    version of this kernel (~4 ms of the 19 ms tick at 64 slots x 528).
+    int8 pools thus keep the one-read-of-allocated-pages traffic story AND
+    halve the bytes of that one read."""
     p = pl.program_id(1)
 
     off = pl.multiple_of(p * page, page)
-    k_buf[:, pl.ds(off, page), :] = (
-        kpage_ref[0].astype(jnp.float32) * kscale_ref[0][:, :, None]
-    ).astype(k_buf.dtype)
-    v_buf[:, pl.ds(off, page), :] = (
-        vpage_ref[0].astype(jnp.float32) * vscale_ref[0][:, :, None]
-    ).astype(v_buf.dtype)
+    k_buf[:, pl.ds(off, page), :] = kpage_ref[0].astype(k_buf.dtype)
+    v_buf[:, pl.ds(off, page), :] = vpage_ref[0].astype(v_buf.dtype)
 
     _attend_last_page(
         q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
         scale=scale, kv_heads=kv_heads,
+        kscale_ref=kscale_ref, vscale_ref=vscale_ref,
     )
 
 
 def _attend_last_page(
     q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
-    *, scale: float, kv_heads: int,
+    *, scale: float, kv_heads: int, kscale_ref=None, vscale_ref=None,
 ):
     p = pl.program_id(1)
 
@@ -147,6 +152,8 @@ def _attend_last_page(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # (rep, S_max)
+            if kscale_ref is not None:  # int8 pool: fold K scales into scores
+                logits = logits * kscale_ref[0, h][None, :].astype(jnp.float32)
             logits = jnp.where(valid[None, :], logits, NEG_INF)
             # Current token: one always-valid extra column, kept out of the
             # window so the kernel does not require the pool scatter first.
@@ -156,7 +163,10 @@ def _attend_last_page(
             ea = jnp.exp(logits - m)  # (rep, S_max); masked cols exp(-inf)=0
             eb = jnp.exp(l_new - m)  # (rep, 1)
             denom = jnp.sum(ea, axis=1, keepdims=True) + eb
-            probs = (ea / denom).astype(v_buf.dtype)
+            probs = ea / denom
+            if vscale_ref is not None:  # int8 pool: fold V scales into probs
+                probs = probs * vscale_ref[0, h][None, :].astype(jnp.float32)
+            probs = probs.astype(v_buf.dtype)
             pv = jax.lax.dot_general(
                 probs,
                 v_buf[h],
@@ -212,11 +222,12 @@ def paged_attention_decode(
         lambda bi, pi, tab: (tab[bi, pi], 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    # Scale blocks ride the same table lookup; their trailing (lane) dim is
-    # the full ``page`` axis, which Mosaic accepts at any size (full-dim).
+    # Scales load as per-slot windows (gathered below, ~KBs), once per slot
+    # like the mask — a per-page (K, page) f32 block would be ~128 bytes
+    # and its DMA-per-program latency measurably dominates (see kernel doc).
     scale_spec = pl.BlockSpec(
-        (1, kv_heads, page),
-        lambda bi, pi, tab: (tab[bi, pi], 0, 0),
+        (1, kv_heads, s_max),
+        lambda bi, pi, tab: (bi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
@@ -265,7 +276,15 @@ def paged_attention_decode(
 
     operands = [tables.astype(jnp.int32), q_g, pool_k, pool_v]
     if quantized:
-        operands += [pool_k_scale, pool_v_scale]
+        # Gather each slot's scale window in XLA outside the kernel: the
+        # result is (B, K, S_max) f32 — a few hundred KB — read once per
+        # slot inside the kernel and folded into scores/probs there.
+        def scale_window(scale_pool):  # (P_total, K, page) -> (B, K, S_max)
+            g = scale_pool[tables]  # (B, P_slot, K, page)
+            g = jnp.transpose(g, (0, 2, 1, 3))
+            return g.reshape(b, kv_heads, s_max).astype(jnp.float32)
+
+        operands += [scale_window(pool_k_scale), scale_window(pool_v_scale)]
     operands += [mask_i, k_new, v_new]
     out = pl.pallas_call(
         functools.partial(

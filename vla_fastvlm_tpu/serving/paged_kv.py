@@ -25,8 +25,8 @@ with *allocated tokens*, not ``slots x max_len``:
   dense server's decode program. The gather materializes the window
   transiently each tick (peak memory pool + window, ~3 extra full-window
   HBM round trips); kept for the mesh configuration and as the exactness
-  anchor. int8 pools run through the kernel since round 3 (pages dequantize
-  while staging — half the attention read bytes on top of half the pool).
+  anchor. int8 pools run through the kernel since round 3 (scales fold into the
+  attention math — half the attention read bytes on top of half the pool).
 
 No reference counterpart: the reference has no serving/generation path at
 all (its policy is one eager forward per env step, reference
