@@ -144,7 +144,17 @@ def main(args: Args) -> None:
     mask = jnp.ones((b, t), jnp.int32)
     max_len = t + args.max_new_tokens
 
-    @jax.jit
+    # Pin s4 entry layouts to the staged arrays' own Formats: XLA's layout
+    # assignment can otherwise pick an entry layout our canonical s4 arrays
+    # cannot be relayouted to (device.py::int4_entry_formats; the remaining
+    # annotation-only mismatch is absorbed by device._patch_s4_layout_eq).
+    from functools import partial
+
+    from vla_fastvlm_tpu.device import int4_entry_formats
+
+    pformats = int4_entry_formats(params)
+
+    @partial(jax.jit, in_shardings=(pformats, None, None))
     def prefill(params, ids, mask):
         cache = init_kv_cache(cfg, b, max_len)
         logits, _, cache = model.apply(
@@ -152,7 +162,7 @@ def main(args: Args) -> None:
         )
         return logits[:, -1].argmax(-1).astype(jnp.int32), cache
 
-    @jax.jit
+    @partial(jax.jit, in_shardings=(pformats, None, None))
     def decode(params, token0, cache):
         def step(carry, _):
             token, cache = carry

@@ -605,3 +605,51 @@ class TestQuantizedSharding:
         sh3 = param_shardings(mesh, tree3)
         assert all(ax is None for ax in sh3["self_attn"]["o_proj"]["scale"].spec)
         shard_params(mesh, tree3)  # places without divisibility errors
+
+
+class TestS4LayoutWorkarounds:
+    """The jax-0.9 s4 layout metadata bugs worked around in device.py.
+
+    Live repros are TPU-only (CPU has no tiled layouts); these pin the
+    host-checkable semantics of the workarounds so a regression in either
+    helper is caught before a chip run.
+    """
+
+    def test_layout_eq_patch_annotation_only(self):
+        """{0,4} sub-byte annotations compare equal iff every other field
+        matches exactly (PJRT reports 0 on rank>=3 s4 arrays, executables
+        report 4 for the same bytes; see device._patch_s4_layout_eq)."""
+        from jax._src import layout as jsl
+
+        from vla_fastvlm_tpu.device import _INT4_TILING, _patch_s4_layout_eq
+
+        _patch_s4_layout_eq()
+
+        def mk(e, tiling=_INT4_TILING, m2m=(0, 1, 2)):
+            return jsl.Layout(m2m, tiling, e)
+
+        assert mk(0) == mk(4) and mk(4) == mk(0)  # annotation-only diff
+        assert mk(4) == mk(4) and mk(0) == mk(0)  # exact equality intact
+        assert mk(0, m2m=(2, 1, 0)) != mk(4)  # m2m must match
+        assert mk(0, tiling=((8, 128), (4, 1))) != mk(4)  # tiling must match
+        # Untiled layouts carry no packed-byte evidence: never equated.
+        assert mk(0, tiling=None) != mk(4, tiling=None)
+        assert mk(2) != mk(4) and mk(0) != mk(2)  # only the {0,4} pair
+        assert mk(0) != object() or True  # non-Layout: no crash
+
+    def test_int4_entry_formats_echo_and_host_rejection(self):
+        """in_shardings pins echo each staged s4 leaf's own Format verbatim
+        (rank-dependent annotation normalization makes any reconstructed
+        layout wrong on one rank or the other); host leaves are rejected."""
+        from vla_fastvlm_tpu.device import int4_entry_formats, place_params
+
+        k = np.random.default_rng(0).normal(size=(256, 32)).astype(np.float32)
+        tree = {"proj": quantize_kernel_int4(k)}
+        placed = place_params(tree, jax.devices()[0])
+        fmts = int4_entry_formats(placed)
+        kernel = placed["proj"]["kernel"]
+        assert fmts["proj"]["kernel"].layout == kernel.format.layout
+        assert fmts["proj"]["kernel"].sharding == kernel.sharding
+        assert fmts["proj"]["scale"] is None  # non-s4 leaves: unpinned
+        with pytest.raises(TypeError):
+            int4_entry_formats(tree)  # host tree: must stage first

@@ -195,11 +195,59 @@ def _disable_persistent_cache_for_s4(_done=[]):
         pass
 
 
+def _patch_s4_layout_eq(_done=[]):
+    """jax 0.9 s4 layout-equality workaround (annotation-only mismatch).
+
+    PJRT reports ``element_size_in_bits=0`` for rank>=3 s4 arrays while the
+    same arrays at rank 2 — and every compiled executable's s4 *parameter*
+    layout, because ``Layout._to_xla_layout`` force-fills the 4 for sub-byte
+    integer dtypes — report 4. Dispatch compares ``x.format.layout`` against
+    the executable's entry layout with ``Layout.__eq__``, so a rank-3 s4
+    argument can NEVER match (0 vs 4), no matter what ``in_shardings`` pins;
+    jax then attempts an s4 relayout, which is the ``device_put``
+    RecursionError above. Reproduced live on the v5e tunnel (round 3,
+    0.5b/7b int4 prefill with fused-dequant matmuls).
+
+    The physical bytes are identical in both reports — same major_to_minor,
+    same packed tiling; only the metadata annotation differs — so treating
+    {0, 4} as equal *iff every other field matches exactly* makes dispatch
+    correctly pass the array zero-copy. A genuinely different s4 layout
+    (e.g. byte-per-nibble storage) has a different tiling and still
+    mismatches. Hash stays unpatched: unequal hashes for now-equal layouts
+    can only cause a cache miss, never a wrong hit.
+    """
+    if _done:
+        return
+    _done.append(True)
+    from jax._src import layout as _jsl
+
+    orig_eq = _jsl.Layout.__eq__
+
+    def eq(self, other):
+        if orig_eq(self, other):
+            return True
+        if not isinstance(other, _jsl.Layout):
+            return NotImplemented
+        return (
+            self.major_to_minor == other.major_to_minor
+            and self.tiling is not None
+            and self.tiling == other.tiling
+            and {
+                self._sub_byte_element_size_in_bits,
+                other._sub_byte_element_size_in_bits,
+            }
+            == {0, 4}
+        )
+
+    _jsl.Layout.__eq__ = eq
+
+
 def _int4_caster(ndim, sharding, _cache={}):
     import jax.numpy as jnp
     from jax.experimental import layout as jl
 
     _disable_persistent_cache_for_s4()
+    _patch_s4_layout_eq()
     key = (ndim, sharding)
     if key not in _cache:
         lay = jl.Layout(
@@ -252,6 +300,51 @@ def stage_int4(leaf, sharding) -> jax.Array:
         return _int4_caster(leaf.ndim, sharding)(leaf)
     h8 = np.asarray(leaf).astype(np.int8)
     return _int4_caster(h8.ndim, sharding)(jax.device_put(h8, sharding))
+
+
+def int4_entry_formats(tree: Any, sharding=None) -> Any:
+    """``in_shardings`` pytree pinning canonical entry layouts for s4 leaves.
+
+    XLA's layout assignment sometimes drops the sub-byte annotation from an
+    s4 parameter's entry layout (observed: a jitted prefill whose fused int4
+    matmuls made the executable want ``T(64,128)(8,1)`` with element size 0
+    instead of 4 for scanned weight stacks). Dispatching a canonically-
+    staged s4 array into such an executable correctly detects the mismatch
+    and attempts a relayout — which is the s4 ``device_put`` recursion bug
+    above. Passing this tree as the params entry of ``jax.jit``'s
+    ``in_shardings`` forces the executable to accept the canonical packed
+    format (the only format our s4 arrays can exist in), closing the loop
+    on the invariant: staging pins the OUT format, this pins the IN format.
+
+    The pinned Format is read off each staged array (``leaf.format``), NOT
+    reconstructed: jax normalizes the sub-byte annotation differently by
+    rank (a staged rank-2 s4 array reports ``sub_byte_element_size_in_bits=4``
+    while a rank-3 scan stack of the same staging path reports 0), and the
+    jit-boundary check compares the executable's entry layout against the
+    array's reported one verbatim. Echoing the array's own Format makes the
+    comparison pass by construction. Leaves must therefore already be staged
+    device arrays (run ``place_params`` first).
+
+    Float/int8 leaves map to ``sharding`` if given (must then cover every
+    leaf's placement) or ``UNSPECIFIED`` (None) otherwise.
+    """
+    import jax.numpy as jnp
+
+    def spec(leaf):
+        dtype = getattr(leaf, "dtype", None)
+        if dtype is not None and dtype == jnp.int4:
+            if not isinstance(leaf, jax.Array) or isinstance(
+                leaf, jax.core.Tracer
+            ):
+                raise TypeError(
+                    "int4_entry_formats requires staged device arrays "
+                    "(run place_params first); got a host leaf of shape "
+                    f"{getattr(leaf, 'shape', None)}"
+                )
+            return leaf.format
+        return sharding
+
+    return jax.tree_util.tree_map(spec, tree)
 
 
 def place_params(tree: Any, device: Optional[jax.Device] = None) -> Any:

@@ -150,10 +150,19 @@ def _int4_matmul(x: jnp.ndarray, kernel, scale, dtype) -> jnp.ndarray:
       materializes, preserving the 4x weight-bandwidth win that pays when
       the matmul is weight-streaming-bound.
     - **fused-dequant** (prefill): scale the converted weights elementwise
-      and run ONE full-contraction dot. XLA fuses the dequant into the dot
-      operand (no HBM copy; measured ~95% MXU peak at M=2048), avoiding the
-      grouped path's (..., K/G, N) partial-sum traffic that dominates in
-      the compute-bound regime.
+      and run ONE dot_general contracting BOTH the group and in-group dims
+      (``...gk,gkn->...n``). XLA fuses the dequant into the dot operand (no
+      HBM copy; measured 1.35-2.1x grouped at M=2048 depending on shape),
+      avoiding the grouped path's (..., K/G, N) partial-sum traffic that
+      dominates in the compute-bound regime. Deliberately NOT expressed as
+      ``x @ w.reshape(K, N)``: reshaping the scaled weights back to (K, N)
+      makes XLA's layout assignment drop the parameter's sub-byte entry
+      layout annotation (wants E(0) instead of E(4)), and dispatching a
+      canonically-staged s4 array into such an executable triggers the jax
+      s4 relayout RecursionError (``device.py``). The two-contracting-dims
+      einsum keeps the weight-side op chain identical to grouped's
+      (convert + reshape + multiply), preserves the canonical entry layout,
+      and measured within 1% of the reshape formulation's speed.
     """
     if kernel.ndim != 2:
         raise ValueError(
@@ -164,13 +173,11 @@ def _int4_matmul(x: jnp.ndarray, kernel, scale, dtype) -> jnp.ndarray:
     kg = scale.shape[-2]
     group = K // kg
     tokens = int(np.prod(x.shape[:-1]))
-    if tokens >= INT4_DEQUANT_MIN_TOKENS:
-        w = kernel.astype(dtype).reshape(kg, group, N) * scale.astype(dtype)[
-            :, None, :
-        ]
-        return x.astype(dtype) @ w.reshape(K, N)
     xg = x.astype(dtype).reshape(x.shape[:-1] + (kg, group))
     qg = kernel.astype(dtype).reshape(kg, group, N)
+    if tokens >= INT4_DEQUANT_MIN_TOKENS:
+        w = qg * scale.astype(dtype)[:, None, :]
+        return jnp.einsum("...gk,gkn->...n", xg, w)
     partial = jnp.einsum("...gk,gkn->...gn", xg, qg)
     return (partial * scale.astype(dtype)).sum(axis=-2)
 
