@@ -54,6 +54,8 @@ class BenchArgs:
     attention_impl: str = "auto"
     # "int8" | "int4": weight-only quantized decoder kernels (2x / 4x less
     # decode weight-HBM traffic — the small-batch generate bottleneck).
+    # "w8a8": int8 weights + dynamic int8 activations (the MXU's 2x int8
+    # path — the compute-bound prefill lever; ops/quant.py).
     quantization: str = "none"
     max_new_tokens: int = 64
     # Mesh factors for sharded serving (dp*tp devices; 1x1 = single chip).

@@ -38,7 +38,7 @@ from vla_fastvlm_tpu.utils.cli import parse_cli
 @dataclass
 class Args:
     model_size: str = "7b"  # "0.5b" | "1.5b" | "7b"
-    quantization: str = "int8"  # "int8" | "int4" | "none"
+    quantization: str = "int8"  # "int8" | "int4" | "w8a8" | "none"
     batch_size: int = 16
     prompt_len: int = 48
     max_new_tokens: int = 32

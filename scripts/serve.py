@@ -46,6 +46,7 @@ class ServeArgs:
     # Tensor-parallel mesh size (1 = single chip); shards params + KV cache.
     tp: int = 1
     # "int8" | "int4": weight-only quantized decoder kernels (io/quantize.py).
+    # "w8a8": int8 weights + dynamic int8 activations (MXU 2x int8 path).
     quantization: str = "none"
     # "int8": int8 KV cache storage (dense AND paged servers; 2x slot/page
     # capacity at the same HBM budget).

@@ -220,6 +220,161 @@ class TestQuantizeKernelInt4:
         assert err_g < err_c
 
 
+class TestW8A8:
+    """w8a8: int8 activations x int8 weights on the MXU's 2x int8 path.
+
+    Storage is the int8 tree; only the apply changes (``ops/quant.py``
+    ``_int8_matmul_w8a8``). The math is exactly emulable in float (int32
+    accumulation is exact at these K), so the matmul itself pins bit-exact;
+    model-level bounds are looser than weight-only int8 because activations
+    now round too.
+    """
+
+    def test_matmul_matches_float_emulation(self, rng):
+        from vla_fastvlm_tpu.ops.quant import quantize_activations
+
+        w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+        leaf = quantize_kernel(w)
+        y = dense_apply(x, leaf, jnp.float32, act_quant=True)
+        xq, xs = quantize_activations(x)
+        emu = (
+            np.asarray(xq, np.float32) @ np.asarray(leaf["kernel"], np.float32)
+        ) * np.asarray(xs) * np.asarray(leaf["scale"])
+        np.testing.assert_allclose(np.asarray(y), emu, rtol=1e-6, atol=1e-6)
+
+    def test_activation_quantization_error_bound(self, rng):
+        from vla_fastvlm_tpu.ops.quant import quantize_activations
+
+        x = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+        xq, xs = quantize_activations(x)
+        assert xq.dtype == jnp.int8 and xs.shape == (8, 1)
+        deq = np.asarray(xq, np.float32) * np.asarray(xs)
+        row_absmax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+        assert np.all(np.abs(deq - np.asarray(x)) <= row_absmax / 254.0 + 1e-7)
+
+    def test_zero_row_is_safe(self):
+        from vla_fastvlm_tpu.ops.quant import quantize_activations
+
+        xq, xs = quantize_activations(jnp.zeros((2, 16), jnp.float32))
+        assert np.all(np.asarray(xq) == 0) and np.all(np.asarray(xs) == 1.0)
+
+    def test_fused_apply_matches_separate(self, rng):
+        w1 = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+        l1, l2 = quantize_kernel(w1), quantize_kernel(w2)
+        fused = fused_dense_apply(x, [l1, l2], jnp.float32, act_quant=True)
+        sep = jnp.concatenate(
+            [
+                dense_apply(x, l1, jnp.float32, act_quant=True),
+                dense_apply(x, l2, jnp.float32, act_quant=True),
+            ],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(sep), rtol=1e-5, atol=1e-5
+        )
+
+    def test_mode_stores_int8(self, rng):
+        cfg = qwen2_tiny()
+        params = Qwen2ForCausalLM(cfg).init(
+            jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32)
+        )["params"]
+        qparams = quantize_params(params, mode="w8a8")
+        assert count_quantized(qparams) == 7
+        attn = qparams["model"]["layers"]["self_attn"]
+        assert attn["q_proj"]["kernel"].dtype == jnp.int8
+
+    def test_logits_close_to_float(self, rng):
+        cfg = qwen2_tiny()
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.asarray(rng.integers(3, 500, (2, 12)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))[
+            "params"
+        ]
+        ref, _, _ = model.apply({"params": params}, ids)
+        ref = np.asarray(ref)
+        qm = Qwen2ForCausalLM(cfg.replace(quantization="w8a8"))
+        got, _, _ = qm.apply({"params": quantize_params(params)}, ids)
+        got = np.asarray(got)
+        # Activations round too: looser than weight-only int8's 0.05 bound.
+        scale = np.abs(ref).max()
+        assert np.max(np.abs(got - ref)) < 0.1 * scale
+        # Greedy argmax can legitimately flip on near-ties in a tiny random
+        # model (logits cluster; same caveat as the int8-KV quality table in
+        # BASELINE.md). Pin the meaningful property instead: whatever w8a8
+        # picks must be a near-tie under the float logits.
+        picked = got[:, -1].argmax(-1)
+        float_last = ref[:, -1]
+        gap = float_last.max(-1) - float_last[np.arange(len(picked)), picked]
+        assert np.all(gap <= 0.02 * scale), gap
+
+    def test_fused_and_unfused_model_paths_agree(self, rng):
+        """Fused qkv/gate-up concat quantizes ONE activation tensor shared by
+        the group — identical to the unfused per-projection quantization
+        (same x, same per-row scale), so the paths must agree exactly."""
+        cfg = qwen2_tiny()
+        ids = jnp.asarray(rng.integers(3, 500, (2, 6)), jnp.int32)
+        params = Qwen2ForCausalLM(cfg).init(
+            jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+        )["params"]
+        qparams = quantize_params(params)
+        a, _, _ = Qwen2ForCausalLM(cfg.replace(quantization="w8a8")).apply(
+            {"params": qparams}, ids
+        )
+        b, _, _ = Qwen2ForCausalLM(
+            cfg.replace(quantization="w8a8", fused_projections=False)
+        ).apply({"params": qparams}, ids)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+    def test_sharded_forward_tracks_unsharded(self, rng):
+        """2-way TP w8a8 vs single device: NOT bit-equal by design (each
+        contraction shard quantizes its activation slice with its own scale),
+        but the disagreement is quantization-sized, not structural."""
+        from vla_fastvlm_tpu.parallel.mesh import make_mesh
+        from vla_fastvlm_tpu.parallel.sharding import shard_params
+
+        cfg = qwen2_tiny(quantization="w8a8")
+        model = Qwen2ForCausalLM(cfg)
+        ids = jnp.asarray(rng.integers(3, 500, (2, 6)), jnp.int32)
+        fparams = Qwen2ForCausalLM(qwen2_tiny()).init(
+            jax.random.PRNGKey(0), ids
+        )["params"]
+        qparams = quantize_params(fparams)
+        ref, _, _ = model.apply({"params": qparams}, ids)
+
+        mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+        sharded = shard_params(mesh, qparams)
+        with mesh:
+            got, _, _ = jax.jit(
+                lambda p, i: model.apply({"params": p}, i)
+            )(sharded, ids)
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(got - ref).max()) < 0.05 * scale
+
+    def test_policy_select_action_w8a8(self):
+        from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLAPolicy
+
+        cfg = FastVLAConfig(
+            vlm_model_name="fastvlm-tiny",
+            bootstrap_model_name="fastvlm-tiny",
+            state_dim=4,
+            action_dim=4,
+            quantization="w8a8",
+            dropout=0.0,
+        )
+        policy = FastVLAPolicy(cfg)
+        assert count_quantized(policy.model.backbone.params) == 7
+        image = np.zeros((1, 3, 64, 64), np.float32)
+        state = np.zeros((1, 4), np.float32)
+        action = policy.select_action(image, state, "pick")
+        assert np.asarray(action).shape == (4,)
+        assert np.all(np.isfinite(np.asarray(action)))
+
+
 class TestQuantizedQwen2:
     @pytest.fixture(scope="class")
     def lm(self):

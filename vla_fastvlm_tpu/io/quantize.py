@@ -48,11 +48,13 @@ def quantize_params(
     ``(L, K, N)`` kernels qualify) is replaced by the quantized leaf.
     ``mode``: ``"int8"`` (per-output-channel scales) or ``"int4"``
     (per-group scales, 4x fewer weight bytes than bf16 — see
-    ``ops/quant.py``). ``group_size`` overrides the int4 group (default
-    128). Biases are kept as-is.
+    ``ops/quant.py``). ``"w8a8"`` stores identically to ``"int8"`` (the
+    activation half is an apply-time choice, ``ops/quant.py``).
+    ``group_size`` overrides the int4 group (default 128). Biases are kept
+    as-is.
     """
     names = frozenset(names)
-    if mode == "int8":
+    if mode in ("int8", "w8a8"):
         quantize = quantize_kernel
     elif mode == "int4":
         from ..ops.quant import INT4_GROUP

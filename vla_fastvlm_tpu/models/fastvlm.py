@@ -209,7 +209,8 @@ class FastVLM(nn.Module):
             from ..ops.quant import dense_apply
 
             return dense_apply(
-                hidden, self.variables["params"]["lm_head"], self.cfg.text.dtype
+                hidden, self.variables["params"]["lm_head"], self.cfg.text.dtype,
+                act_quant=self.cfg.text.quantization == "w8a8",
             )
         return self.lm_head(hidden)
 

@@ -57,13 +57,16 @@ class Qwen2Config:
     # tree is unchanged (kernels are concatenated inside the jitted fn), so
     # checkpoints and the HF weight converter are unaffected.
     fused_projections: bool = True
-    # Weight-only quantized serving mode ("none" | "int8" | "int4"): matmul
+    # Quantized serving mode ("none" | "int8" | "int4" | "w8a8"): matmul
     # kernels are stored int8 (per-output-channel scales) or int4
     # (per-group-of-128 scales) — 2x / 4x less HBM weight traffic than bf16,
-    # the bound on small-batch decode (``ops/quant.py``). Apply with a tree
-    # produced by ``io/quantize.quantize_params``; training and init always
-    # use float params. No reference equivalent (the reference serves eager
-    # torch fp32/bf16) — TPU-native extension, flag-gated.
+    # the bound on small-batch decode (``ops/quant.py``). "w8a8" stores int8
+    # and additionally quantizes activations per token at apply time so the
+    # dots run on the MXU's 2x-throughput int8 path — the compute-bound
+    # prefill lever. Apply with a tree produced by
+    # ``io/quantize.quantize_params``; training and init always use float
+    # params. No reference equivalent (the reference serves eager torch
+    # fp32/bf16) — TPU-native extension, flag-gated.
     quantization: str = "none"
     # KV cache storage ("none" | "int8"): int8 halves persistent cache HBM
     # (per-position-per-head scales; quantize at write, dequantize at read).
@@ -175,6 +178,7 @@ class Qwen2Attention(nn.Module):
             )
 
         quantized = cfg.quantization != "none" and not self.is_initializing()
+        aq = cfg.quantization == "w8a8"
         if self.is_initializing() or not (cfg.fused_projections or quantized):
             q = dense(n * d, True, "q_proj")(x)
             k = dense(k_heads * d, True, "k_proj")(x)
@@ -185,14 +189,15 @@ class Qwen2Attention(nn.Module):
             # Quantized kernels concatenate in int8 (ops/quant.py).
             p = self.variables["params"]
             qkv = fused_dense_apply(
-                x, [p["q_proj"], p["k_proj"], p["v_proj"]], cfg.dtype
+                x, [p["q_proj"], p["k_proj"], p["v_proj"]], cfg.dtype,
+                act_quant=aq,
             )
             q, k, v = jnp.split(qkv, [n * d, (n + k_heads) * d], axis=-1)
         else:
             p = self.variables["params"]
-            q = dense_apply(x, p["q_proj"], cfg.dtype)
-            k = dense_apply(x, p["k_proj"], cfg.dtype)
-            v = dense_apply(x, p["v_proj"], cfg.dtype)
+            q = dense_apply(x, p["q_proj"], cfg.dtype, act_quant=aq)
+            k = dense_apply(x, p["k_proj"], cfg.dtype, act_quant=aq)
+            v = dense_apply(x, p["v_proj"], cfg.dtype, act_quant=aq)
         q = q.reshape(b, t, n, d)
         k = k.reshape(b, t, k_heads, d)
         v = v.reshape(b, t, k_heads, d)
@@ -235,7 +240,8 @@ class Qwen2Attention(nn.Module):
             out = out.reshape(b, t, n * d)
             if quantized:
                 return dense_apply(
-                    out, self.variables["params"]["o_proj"], cfg.dtype
+                    out, self.variables["params"]["o_proj"], cfg.dtype,
+                    act_quant=aq,
                 ), new_cache
             return dense(cfg.hidden_size, False, "o_proj")(out), new_cache
 
@@ -284,7 +290,9 @@ class Qwen2Attention(nn.Module):
         )
         out = out.reshape(b, t, n * d)
         if quantized:
-            out = dense_apply(out, self.variables["params"]["o_proj"], cfg.dtype)
+            out = dense_apply(
+                out, self.variables["params"]["o_proj"], cfg.dtype, act_quant=aq
+            )
         else:
             out = dense(cfg.hidden_size, False, "o_proj")(out)
         return out, new_cache
@@ -304,20 +312,25 @@ class Qwen2MLP(nn.Module):
             )
 
         quantized = cfg.quantization != "none" and not self.is_initializing()
+        aq = cfg.quantization == "w8a8"
         if self.is_initializing() or not (cfg.fused_projections or quantized):
             gate = dense(cfg.intermediate_size, "gate_proj")(x)
             up = dense(cfg.intermediate_size, "up_proj")(x)
         elif cfg.fused_projections:
             p = self.variables["params"]
-            gu = fused_dense_apply(x, [p["gate_proj"], p["up_proj"]], cfg.dtype)
+            gu = fused_dense_apply(
+                x, [p["gate_proj"], p["up_proj"]], cfg.dtype, act_quant=aq
+            )
             gate, up = jnp.split(gu, 2, axis=-1)
         else:
             p = self.variables["params"]
-            gate = dense_apply(x, p["gate_proj"], cfg.dtype)
-            up = dense_apply(x, p["up_proj"], cfg.dtype)
+            gate = dense_apply(x, p["gate_proj"], cfg.dtype, act_quant=aq)
+            up = dense_apply(x, p["up_proj"], cfg.dtype, act_quant=aq)
         h = nn.silu(gate) * up
         if quantized:
-            return dense_apply(h, self.variables["params"]["down_proj"], cfg.dtype)
+            return dense_apply(
+                h, self.variables["params"]["down_proj"], cfg.dtype, act_quant=aq
+            )
         return dense(cfg.hidden_size, "down_proj")(h)
 
 
@@ -563,7 +576,8 @@ class Qwen2ForCausalLM(nn.Module):
             logits = tied_logits
         elif self.cfg.quantization != "none" and not self.is_initializing():
             logits = dense_apply(
-                hidden, self.variables["params"]["lm_head"], self.cfg.dtype
+                hidden, self.variables["params"]["lm_head"], self.cfg.dtype,
+                act_quant=self.cfg.quantization == "w8a8",
             )
         else:
             logits = nn.Dense(

@@ -18,10 +18,23 @@ psum equals scaling after).
 Quality: int8 per-channel weight-only is the standard "free lunch" point in
 the quantization literature (~0.1% quality deltas); a logit-error bound is
 pinned in ``tests/test_quantization.py``.
+
+``"w8a8"`` additionally quantizes the *activations* (dynamic per-token
+symmetric absmax) and runs the dot as int8 x int8 -> int32 — on v5e the MXU's
+int8 path has 2x the bf16 throughput (394.7 TOPS vs 197 TFLOPS), which is the
+remaining lever in the compute-bound prefill regime where weight-only
+quantization buys nothing (the serving hot loop IS prefill — the north-star
+metric). Storage is identical to "int8" (same tree, same converter); only the
+apply changes. Dynamic per-token activation scales are the standard
+calibration-free w8a8 recipe; real-checkpoint quality depends on activation
+outliers (SmoothQuant-style smoothing is the known fix) — end-task evidence
+in ``scripts/eval_quant_quality.py``, logit bounds in
+``tests/test_quantization.py``.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -182,16 +195,62 @@ def _int4_matmul(x: jnp.ndarray, kernel, scale, dtype) -> jnp.ndarray:
     return (partial * scale.astype(dtype)).sum(axis=-2)
 
 
-def dense_apply(x: jnp.ndarray, leaf: dict, dtype) -> jnp.ndarray:
+def quantize_activations(x: jnp.ndarray) -> tuple:
+    """(..., K) float -> (int8 (..., K), f32 (..., 1) scales).
+
+    Dynamic symmetric absmax per row (= per token for (B, T, K) hidden
+    states) — computed inside the jitted program every step, no calibration
+    pass. Row granularity is what w8a8 needs: the quantized dot's output
+    rescales by ``x_scale * w_scale`` with both factors outside the
+    contraction, and per-row is the finest granularity that stays outside.
+    """
+    x32 = jnp.asarray(x, jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / INT8_MAX, 1.0)
+    q = jnp.clip(jnp.round(x32 / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_matmul_w8a8(x: jnp.ndarray, kernel, wscale, dtype) -> jnp.ndarray:
+    """x @ dequant(kernel) computed as an int8 x int8 -> int32 MXU dot.
+
+    ``round(x/sx) @ q`` accumulates in int32 (exact: |acc| <= 127*127*K
+    < 2^31 for every K <= 133k, far above Qwen2-7B's 18944), then rescales
+    by the per-row activation scale and per-column weight scale in f32.
+    Under TP contraction splits each shard quantizes its own activation
+    slice with its own scale — per-shard rescale-then-psum equals the
+    unsharded product because the scales sit outside each shard's dot.
+    """
+    if kernel.ndim != 2:
+        raise ValueError(
+            "w8a8 apply expects a per-layer (K, N) kernel (scan-stacked "
+            f"trees slice per step), got {kernel.shape}"
+        )
+    xq, xscale = quantize_activations(x)
+    acc = jax.lax.dot_general(
+        xq,
+        kernel,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * xscale * jnp.asarray(wscale, jnp.float32)
+    return y.astype(dtype)
+
+
+def dense_apply(x: jnp.ndarray, leaf: dict, dtype, act_quant: bool = False) -> jnp.ndarray:
     """Apply a maybe-quantized Dense param leaf: x @ W (+ bias).
 
     ``leaf`` is a param subtree ``{"kernel", ["scale"], ["bias"]}``; the int8
-    branch computes ``(x @ q) * scale`` in ``dtype``.
+    branch computes ``(x @ q) * scale`` in ``dtype``. ``act_quant`` upgrades
+    int8 kernels to the w8a8 MXU path (``_int8_matmul_w8a8``).
     """
     kernel = leaf["kernel"]
     if kernel.dtype == jnp.int8:
-        y = x.astype(dtype) @ kernel.astype(dtype)
-        y = y * leaf["scale"].astype(dtype)
+        if act_quant:
+            y = _int8_matmul_w8a8(x, kernel, leaf["scale"], dtype)
+        else:
+            y = x.astype(dtype) @ kernel.astype(dtype)
+            y = y * leaf["scale"].astype(dtype)
     elif kernel.dtype == jnp.int4:
         y = _int4_matmul(x, kernel, leaf["scale"], dtype)
     else:
@@ -221,7 +280,9 @@ def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return q.astype(dtype) * scale[..., None].astype(dtype)
 
 
-def fused_dense_apply(x: jnp.ndarray, leaves: list, dtype) -> jnp.ndarray:
+def fused_dense_apply(
+    x: jnp.ndarray, leaves: list, dtype, act_quant: bool = False
+) -> jnp.ndarray:
     """One matmul over column-concatenated projection kernels.
 
     The fused-projection optimization (Qwen2Config.fused_projections): the
@@ -247,9 +308,12 @@ def fused_dense_apply(x: jnp.ndarray, leaves: list, dtype) -> jnp.ndarray:
     kind = kinds.pop()
     kcat = jnp.concatenate([leaf["kernel"] for leaf in leaves], axis=-1)
     if kind == "int8":
-        y = x.astype(dtype) @ kcat.astype(dtype)
         scale = jnp.concatenate([leaf["scale"] for leaf in leaves], axis=-1)
-        y = y * scale.astype(dtype)
+        if act_quant:
+            y = _int8_matmul_w8a8(x, kcat, scale, dtype)
+        else:
+            y = x.astype(dtype) @ kcat.astype(dtype)
+            y = y * scale.astype(dtype)
     elif kind == "int4":
         # scales are (..., K/G, N_i): output-column concat composes the same
         # way the kernels do.
