@@ -230,6 +230,28 @@ class TestW8A8:
     now round too.
     """
 
+    @pytest.fixture(autouse=True)
+    def _engage_w8a8_at_any_size(self, monkeypatch):
+        # Production gates w8a8 to >=W8A8_MIN_TOKENS tokens (below it the
+        # weight-only path is faster); tests use tiny shapes, so drop the
+        # gate to pin the int8 x int8 math itself.
+        from vla_fastvlm_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "W8A8_MIN_TOKENS", 0)
+
+    def test_token_gate_falls_back_to_weight_only(self, rng, monkeypatch):
+        """Below W8A8_MIN_TOKENS the w8a8 apply IS the weight-only matmul
+        (bit-identical), so decode inherits the optimal path unchanged."""
+        from vla_fastvlm_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "W8A8_MIN_TOKENS", 1024)
+        w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+        leaf = quantize_kernel(w)
+        gated = dense_apply(x, leaf, jnp.float32, act_quant=True)
+        wonly = dense_apply(x, leaf, jnp.float32, act_quant=False)
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(wonly))
+
     def test_matmul_matches_float_emulation(self, rng):
         from vla_fastvlm_tpu.ops.quant import quantize_activations
 

@@ -148,6 +148,16 @@ def _concrete_to_int4(q8):
 # partial-sum buffer (M x K/G x N) dwarfs the weight itself.
 INT4_DEQUANT_MIN_TOKENS = 256
 
+# Token count at which "w8a8" actually engages the int8 x int8 MXU dot;
+# below it the apply silently falls back to the weight-only int8 matmul.
+# Measured on v5e (chained dots, RTT subtracted): at M=768 the per-layer
+# net is a wash (gate_up 7B 1.45x but qkv 0.56x — the per-token quantize +
+# int32->f32 rescale overheads beat the MXU win on skinny/narrow dots); at
+# M>=2048 the dominant MLP matmuls win outright (1.96x vs bf16 at M=8192,
+# 360 of 394 peak TOPS). Decode (M=batch) therefore always takes the
+# weight-only path, which is optimal there (weight-streaming-bound).
+W8A8_MIN_TOKENS = 1024
+
 
 def _int4_matmul(x: jnp.ndarray, kernel, scale, dtype) -> jnp.ndarray:
     """x @ dequant(kernel) with per-(group, column) scales, no HBM dequant.
@@ -226,6 +236,13 @@ def _int8_matmul_w8a8(x: jnp.ndarray, kernel, wscale, dtype) -> jnp.ndarray:
             "w8a8 apply expects a per-layer (K, N) kernel (scan-stacked "
             f"trees slice per step), got {kernel.shape}"
         )
+    if int(np.prod(x.shape[:-1])) < W8A8_MIN_TOKENS:
+        # Below the measured crossover the activation-quant overheads beat
+        # the MXU int8 win — fall back to the weight-only int8 matmul
+        # (optimal for decode, which is weight-streaming-bound). Static
+        # shapes under jit: this compiles to exactly one of the two.
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        return y * jnp.asarray(wscale, jnp.float32).astype(dtype)
     xq, xscale = quantize_activations(x)
     acc = jax.lax.dot_general(
         xq,
