@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""End-task int8/int4 quality evidence (VERDICT r2 #6).
+"""End-task int8/int4/w8a8 quality evidence (VERDICT r2 #6).
 
 Round 2 pinned int8 error *bounds* on random weights (tests/
 test_quantization.py) — the friendliest case for per-channel absmax. This
@@ -95,6 +95,13 @@ def main(args: Args) -> None:
     model_f = build("none")
     model_q = build("int8")
     model_q4 = build("int4")
+    # Quality probe, not a perf probe: drop the w8a8 token gate so the
+    # int8 x int8 activation-quant math is what gets measured even at smoke
+    # shapes (production engages it only at >=W8A8_MIN_TOKENS tokens).
+    from vla_fastvlm_tpu.ops import quant as _quant
+
+    _quant.W8A8_MIN_TOKENS = 0
+    model_w8 = build("w8a8")
 
     images = rng.random(
         (args.num_samples, 3, args.image_size, args.image_size),
@@ -114,7 +121,12 @@ def main(args: Args) -> None:
 
     t0 = time.perf_counter()
     feats = {}
-    for name, m in (("float", model_f), ("int8", model_q), ("int4", model_q4)):
+    for name, m in (
+        ("float", model_f),
+        ("int8", model_q),
+        ("int4", model_q4),
+        ("w8a8", model_w8),
+    ):
         fn = jax.jit(m.backbone.features_fn)
         feats[name] = np.asarray(
             fn(m.backbone.params, imgs_dev, ids, mask), np.float32
@@ -160,7 +172,7 @@ def main(args: Args) -> None:
 
     mse = {}
     preds = {}
-    for name in ("float", "int8", "int4"):
+    for name in ("float", "int8", "int4", "w8a8"):
         m, p = eval_mse(head_params, jnp.asarray(feats[name]))
         mse[name] = float(m)
         preds[name] = np.asarray(p)
@@ -172,8 +184,10 @@ def main(args: Args) -> None:
 
     rel_delta = _rel(preds["int8"], preds["float"])
     rel_delta4 = _rel(preds["int4"], preds["float"])
+    rel_delta8a = _rel(preds["w8a8"], preds["float"])
     feat_rel = _rel(feats["int8"], feats["float"])
     feat_rel4 = _rel(feats["int4"], feats["float"])
+    feat_rel8a = _rel(feats["w8a8"], feats["float"])
 
     # ---- generation surface: int8 KV (and int8 weights + int8 KV) ----
     from vla_fastvlm_tpu.serving import generate
@@ -212,10 +226,13 @@ def main(args: Args) -> None:
                 "eval_mse_float": round(mse["float"], 6),
                 "eval_mse_int8": round(mse["int8"], 6),
                 "eval_mse_int4": round(mse["int4"], 6),
+                "eval_mse_w8a8": round(mse["w8a8"], 6),
                 "action_rel_delta_int8": round(rel_delta, 6),
                 "action_rel_delta_int4": round(rel_delta4, 6),
+                "action_rel_delta_w8a8": round(rel_delta8a, 6),
                 "feature_rel_delta_int8": round(feat_rel, 6),
                 "feature_rel_delta_int4": round(feat_rel4, 6),
+                "feature_rel_delta_w8a8": round(feat_rel8a, 6),
                 "gen_token_agreement_int8kv": round(agree_kv, 4),
                 "gen_token_agreement_int8w_int8kv": round(agree_both, 4),
                 "gen_last_logit_mse_int8kv": round(logit_mse_kv, 6),
