@@ -31,13 +31,30 @@ def _host_fingerprint() -> str:
     host without it; cpu_aot_loader logs the mismatch then crashes). TPU
     entries are tunnel-compiled and safe, but partitioning by host CPU
     flags is cheap and also correct for them.
+
+    The signature hashes the cpuinfo *model name* line as well as the flags
+    line: LLVM tuning features like +prefer-no-gather derive from the CPU
+    model, not from any cpuinfo flag, so two hosts can share a flags line
+    yet produce incompatible AOT code (observed live as cpu_aot_loader
+    feature-mismatch warnings on entries written under the flags-only
+    fingerprint).
     """
     import hashlib
 
     try:
         with open("/proc/cpuinfo") as f:
-            sig = next((line for line in f if line.startswith("flags")), "")
+            wanted = ("flags", "model name")
+            seen: dict = {}
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in wanted and key not in seen:
+                    seen[key] = line.strip()
+                if len(seen) == len(wanted):
+                    break
+            sig = "|".join(seen[k] for k in sorted(seen))
     except OSError:
+        sig = ""
+    if not sig:
         import platform
 
         sig = platform.processor() or platform.machine()
