@@ -57,6 +57,9 @@ class Args:
     # generation check (kv int8 end-task surface)
     gen_batch: int = 4
     gen_new_tokens: int = 32
+    # SmoothQuant migration strength for the w8a8_smooth column
+    # (io/smooth.py; self-calibrated on the eval batch). <= 0 disables.
+    smooth_alpha: float = 0.5
     seed: int = 0
 
 
@@ -131,6 +134,30 @@ def main(args: Args) -> None:
         feats[name] = np.asarray(
             fn(m.backbone.params, imgs_dev, ids, mask), np.float32
         )
+    if args.smooth_alpha > 0:
+        # SmoothQuant-ed w8a8: calibrate activation absmax on this batch,
+        # migrate outliers into the weights (float-identical transform), THEN
+        # quantize — the documented fix for activation-outlier error
+        # (io/smooth.py; docs/SERVING.md).
+        from vla_fastvlm_tpu.io.quantize import quantize_params
+        from vla_fastvlm_tpu.io.smooth import (
+            collect_norm_absmax,
+            smooth_params_w8a8,
+        )
+
+        calib = collect_norm_absmax(
+            model_f.backbone.model, model_f.backbone.params, imgs_dev, ids, mask
+        )
+        smoothed_q = quantize_params(
+            smooth_params_w8a8(
+                model_f.backbone.params, calib, alpha=args.smooth_alpha
+            ),
+            mode="w8a8",
+        )
+        feats["w8a8_smooth"] = np.asarray(
+            jax.jit(model_w8.backbone.features_fn)(smoothed_q, imgs_dev, ids, mask),
+            np.float32,
+        )
     print(f"[quant-eval] features extracted in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -172,7 +199,7 @@ def main(args: Args) -> None:
 
     mse = {}
     preds = {}
-    for name in ("float", "int8", "int4", "w8a8"):
+    for name in feats:
         m, p = eval_mse(head_params, jnp.asarray(feats[name]))
         mse[name] = float(m)
         preds[name] = np.asarray(p)
@@ -188,6 +215,18 @@ def main(args: Args) -> None:
     feat_rel = _rel(feats["int8"], feats["float"])
     feat_rel4 = _rel(feats["int4"], feats["float"])
     feat_rel8a = _rel(feats["w8a8"], feats["float"])
+    smooth_stats = {}
+    if "w8a8_smooth" in feats:
+        smooth_stats = {
+            "eval_mse_w8a8_smooth": round(mse["w8a8_smooth"], 6),
+            "action_rel_delta_w8a8_smooth": round(
+                _rel(preds["w8a8_smooth"], preds["float"]), 6
+            ),
+            "feature_rel_delta_w8a8_smooth": round(
+                _rel(feats["w8a8_smooth"], feats["float"]), 6
+            ),
+            "smooth_alpha": args.smooth_alpha,
+        }
 
     # ---- generation surface: int8 KV (and int8 weights + int8 KV) ----
     from vla_fastvlm_tpu.serving import generate
@@ -236,6 +275,7 @@ def main(args: Args) -> None:
                 "gen_token_agreement_int8kv": round(agree_kv, 4),
                 "gen_token_agreement_int8w_int8kv": round(agree_both, 4),
                 "gen_last_logit_mse_int8kv": round(logit_mse_kv, 6),
+                **smooth_stats,
                 "note": (
                     "kv int8 cannot affect the policy step (no KV cache in "
                     "the serving forward); its surface is generation"
