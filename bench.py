@@ -66,8 +66,9 @@ class BenchArgs:
     # Fabricate params host-side at exact init shapes (io/fabricate.py):
     # required for 7B-shape runs (no device init / no checkpoint needed;
     # identical compute+bandwidth cost to real weights). The measured
-    # north-star configuration is:
-    #   python bench.py --model-id fastvlm-7b --quantization int8 \
+    # north-star configuration (33.8 actions/sec/chip; int8 weight-only
+    # measures 25.5 — BASELINE.md) is:
+    #   python bench.py --model-id fastvlm-7b --quantization w8a8 \
     #       --fabricate --image-size 1024 --batch-size 8
     fabricate: bool = False
     # Multi-camera observations (>1 stacks ncam views per sample) and action
