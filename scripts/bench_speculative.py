@@ -105,9 +105,21 @@ def _build(size: str, *, quantization: str, vocab_size: int | None, seed: int):
     model = FastVLM(cfg)
 
     float_cfg = cfg.replace(text=cfg.text.replace(quantization="none"))
+    # Init through ``prefill`` (not ``__call__``): plain __call__ returns
+    # hidden states only and never materializes the untied lm_head params,
+    # so a 7b tree fabricated from its shapes would KeyError at the first
+    # verify/prefill logits computation.
+    from vla_fastvlm_tpu.serving.generate import build_cache
+
+    init_cache = build_cache(float_cfg, 1, 4, 2)
     shapes = jax.eval_shape(
         lambda: FastVLM(float_cfg).init(
-            jax.random.PRNGKey(0), None, jnp.ones((1, 4), jnp.int32)
+            jax.random.PRNGKey(0),
+            None,
+            jnp.ones((1, 4), jnp.int32),
+            jnp.ones((1, 4), jnp.int32),
+            init_cache,
+            method=FastVLM.prefill,
         )["params"]
     )
     params = fabricate_like(shapes, seed=seed)

@@ -134,6 +134,41 @@ class TestSpeculativeExactness:
         with pytest.raises(ValueError, match="vocab"):
             SpeculativeGenerator(target, tparams, draft2, dparams2)
 
+    def test_untied_target(self):
+        """Untied-lm_head target (the 7B shape): params must come from a
+        ``prefill``-method init — plain __call__ never materializes the
+        untied lm_head (policy trees correctly omit it), which is exactly
+        how scripts/bench_speculative.py first fabricated a headless 7B."""
+        from vla_fastvlm_tpu.serving.generate import build_cache
+
+        def untied_model(seed):
+            cfg = fastvlm_tiny()
+            cfg = cfg.replace(text=cfg.text.replace(tie_word_embeddings=False))
+            model = FastVLM(cfg)
+            ids = jnp.ones((1, 8), jnp.int32)
+            imgs = jnp.zeros((1, 3, cfg.image_size, cfg.image_size))
+            cache = build_cache(cfg, 1, 8, 2)
+            params = model.init(
+                jax.random.PRNGKey(seed), imgs, ids, None, cache,
+                method=FastVLM.prefill,
+            )["params"]
+            assert "lm_head" in params
+            return cfg, model, params
+
+        cfg, target, tparams = untied_model(0)
+        _, draft, dparams = untied_model(5)
+        imgs, ids, mask = _prompts(cfg, b=2, t=8, seed=3)
+        new = 10
+        ref = generate(
+            target, tparams, imgs, ids, mask,
+            max_new_tokens=new, eos_token_id=-1, temperature=0.0,
+        )
+        gen = SpeculativeGenerator(
+            target, tparams, draft, dparams, k=3, eos_token_id=-1
+        )
+        got = gen.generate(imgs, ids, mask, max_new_tokens=new)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_quantized_target(self, pair):
         """int8 target + float draft: exact vs the int8 target's own
         greedy decode (the deployment pairing: quantized 7B target)."""
