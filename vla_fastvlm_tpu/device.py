@@ -300,9 +300,16 @@ def stage_int4(leaf, sharding) -> jax.Array:
         and any(d.platform != "cpu" for d in leaf.devices())
     ):
         lay = leaf.format.layout
+        # PJRT reports sub_byte_element_size_in_bits=0 on rank>=3 s4 arrays
+        # (the {0,4} annotation bug _patch_s4_layout_eq documents), including
+        # arrays this module itself staged canonically — so annotation 0 is
+        # accepted IFF the tiling is the canonical packed one (a genuinely
+        # different layout, e.g. byte-per-nibble, has a different tiling).
+        bits = lay._sub_byte_element_size_in_bits
         if (
             lay.major_to_minor != tuple(range(leaf.ndim))
-            or lay._sub_byte_element_size_in_bits != 4
+            or bits not in (0, 4)
+            or (bits == 0 and lay.tiling != _INT4_TILING)
         ):
             # A non-canonical device s4 array is unrescuable (no D2H, no
             # relayout). quantize_kernel_int4 pins the canonical Format for

@@ -207,12 +207,14 @@ class FastVLMBackbone:
                 self.params = quantize_params(
                     self.params, mode=cfg.quantization
                 )
-        if cfg.fabricate_params:
+        if cfg.fabricate_params and cfg.quantization != "int4":
             # Fabricated trees are host numpy (quantization must run host-side
             # for 7B — the float tree does not fit the chip). Place them ONCE:
             # jitted calls with numpy leaves re-transfer the whole tree every
             # step, which on the tunnel turns a ~0.5 s 7B step into ~5 min.
-            # (place_params = device_put + the int4 layout staging.)
+            # (place_params = device_put + the int4 layout staging; the int4
+            # branch above already placed — re-placing a staged s4 tree is a
+            # pointless full-tree repack.)
             from ..device import place_params
 
             self.params = place_params(self.params)
