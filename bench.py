@@ -76,6 +76,10 @@ class BenchArgs:
     # config #4 (multi-camera ALOHA bimanual + chunking head).
     num_cameras: int = 1
     chunk_size: int = 1
+    # --mode train only: train the FULL model (vision tower + decoder + head,
+    # remat on) instead of the reference-semantics head-only step. Measures
+    # the framework's from-scratch/fine-tuning regime.
+    train_backbone: bool = False
 
 
 def main(args: BenchArgs) -> None:
@@ -114,6 +118,9 @@ def main(args: BenchArgs) -> None:
         fabricate_params=args.fabricate,
         num_cameras=args.num_cameras,
         chunk_size=args.chunk_size,
+        train_backbone=args.train_backbone,
+        freeze_backbone=not args.train_backbone,
+        gradient_checkpointing=args.train_backbone,
         dropout=0.0,
     )
     print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)
@@ -314,7 +321,10 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     actions = jnp.zeros((b, model.config.action_dim), jnp.float32)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     trainable = model.trainable_params()
-    frozen = {"backbone": model.backbone.params}
+    # Head-only training (reference semantics) passes the backbone as the
+    # frozen operand; --train-backbone puts the whole tree in ``trainable``
+    # (merge order below lets it win).
+    frozen = {} if "backbone" in trainable else {"backbone": model.backbone.params}
 
     n_chips = args.dp * args.tp
     if n_chips > 1:
@@ -375,7 +385,9 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     # scan bodies once and would be ~L-times low on the decoder).
     from vla_fastvlm_tpu.utils.flops import fastvlm_train_flops, mfu
 
-    step_flops = fastvlm_train_flops(model, b, int(ids.shape[1]))
+    step_flops = fastvlm_train_flops(
+        model, b, int(ids.shape[1]), train_backbone=args.train_backbone
+    )
     step_mfu = mfu(step_flops, p50, n_chips=n_chips)
     print(
         f"[bench] train {args.iters} iters x batch {b} in {elapsed:.3f}s "
@@ -388,6 +400,7 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
         "metric": (
             f"fastvla {args.model_id} train step throughput "
             f"(batch {b}, {args.image_size}px"
+            + (", full-backbone+remat" if args.train_backbone else ", head-only")
             + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
             + ")"
         ),

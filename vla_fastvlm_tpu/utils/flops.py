@@ -150,17 +150,21 @@ def fastvlm_train_flops(
     model,
     batch: int,
     prompt_len: int,
+    train_backbone: bool = False,
 ) -> Optional[float]:
     """Exact model FLOPs of one bench train step, XLA-counted.
 
     Counting twin of ``bench.py --mode train``'s ``train_step``: full-policy
     forward + MSE loss + gradients w.r.t. the trainable head (the backbone
     is frozen per reference semantics — ``fastvlm_adapter.py:501`` — so the
-    backward pass touches only the head). Same scan-unrolled AOT-on-CPU
-    methodology as ``fastvlm_serve_flops`` (the cost model counts scan
-    bodies once). The optimizer update (AdamW elementwise over head params)
-    is excluded as negligible. Returns None when the CPU backend or cost
-    analysis is unavailable.
+    backward pass touches only the head). ``train_backbone=True``
+    additionally differentiates the backbone params (the full fine-tuning
+    regime); the twin stays remat-free, so the count is *useful* model
+    FLOPs — the standard MFU convention excludes rematerialization
+    recompute. Same scan-unrolled AOT-on-CPU methodology as
+    ``fastvlm_serve_flops`` (the cost model counts scan bodies once). The
+    optimizer update (AdamW elementwise) is excluded as negligible. Returns
+    None when the CPU backend or cost analysis is unavailable.
     """
     import jax.numpy as jnp
 
@@ -193,8 +197,10 @@ def fastvlm_train_flops(
         )
         return jnp.mean(jnp.square(preds - actions.astype(preds.dtype)))
 
+    argnums = (0, 1) if train_backbone else 0
+
     def train_step(head_params, params, images, ids, mask, states, actions):
-        return jax.value_and_grad(loss)(
+        return jax.value_and_grad(loss, argnums=argnums)(
             head_params, params, images, ids, mask, states, actions
         )
 
