@@ -90,6 +90,10 @@ class TrainArgs:
     # devices not taken by tp). tp>1 shards the Qwen2 decoder (7B path).
     dp: int = -1
     tp: int = 1
+    # FSDP (ZeRO-3-style): shard params/grads/optimizer state over the data
+    # axis too — the memory story for --train-backbone at 7B scale
+    # (TrainingConfig.fsdp; parallel/sharding.py::fsdp_param_shardings).
+    fsdp: bool = False
 
 
 def main(args: TrainArgs) -> None:
@@ -205,6 +209,7 @@ def main(args: TrainArgs) -> None:
         save_steps=args.save_steps,
         mixed_precision=args.mixed_precision,
         seed=args.seed,
+        fsdp=args.fsdp,
     )
 
     mesh = None

@@ -17,6 +17,8 @@ from .sharding import (
     batch_shardings,
     batch_spec,
     cache_shardings,
+    fsdp_param_shardings,
+    fsdp_spec_for_param,
     param_shardings,
     shard_batch,
     shard_cache,
@@ -34,6 +36,8 @@ __all__ = [
     "batch_shardings",
     "batch_spec",
     "cache_shardings",
+    "fsdp_param_shardings",
+    "fsdp_spec_for_param",
     "shard_cache",
     "initialize_distributed",
     "make_mesh",

@@ -117,6 +117,78 @@ def param_shardings(mesh: Mesh, params: Dict) -> Dict:
     )
 
 
+# FSDP (ZeRO-3-style fully sharded data parallelism): params below this
+# element count stay replicated — sharding tiny leaves buys no memory and
+# costs a collective per use.
+FSDP_MIN_ELEMENTS = 2**16
+
+
+def fsdp_spec_for_param(
+    spec: P,
+    shape: tuple,
+    data_size: int,
+    min_elements: int | None = None,
+) -> P:
+    """Extend a parameter's TP spec with a ``data``-axis shard (FSDP).
+
+    Shards the *largest* dim the TP rules left unsharded, provided it
+    divides the data-axis size. GSPMD then all-gathers the parameter at its
+    use site and reduce-scatters its gradient — memory for params, grads,
+    and optimizer state drops by |data| while the math stays identical to
+    DP. This is the piece the reference cannot express at all (its DDP
+    replicates the full model per rank, reference ``trainer.py:68-78``);
+    it is what makes FULL-backbone Qwen2-7B training fit v5e-16GB chips
+    (see tests/test_fsdp.py's AOT memory budget).
+
+    The scan-stacked leading layer axis of the decoder (rank>=3 leaves) is
+    never sharded: ``lax.scan`` slices one layer per step, and keeping the
+    layer axis unsharded keeps each slice a pure chip-local view (the
+    standard JAX LLM layout — shard features, not the stack).
+    """
+    if min_elements is None:
+        min_elements = FSDP_MIN_ELEMENTS
+    size = 1
+    for d in shape:
+        size *= int(d)
+    if data_size <= 1 or size < min_elements:
+        return spec
+    ndim = len(shape)
+    entries = [None] * (ndim - len(spec)) + list(spec)
+    start = 1 if ndim >= 3 else 0  # protect the scan/stack axis
+    best = None
+    for i in range(start, ndim):
+        if entries[i] is not None:
+            continue
+        if shape[i] % data_size != 0:
+            continue
+        if best is None or shape[i] > shape[best]:
+            best = i
+    if best is None:
+        return spec
+    entries[best] = DATA_AXIS
+    return P(*entries)
+
+
+def fsdp_param_shardings(
+    mesh: Mesh, params: Dict, min_elements: int | None = None
+) -> Dict:
+    """Pytree of NamedShardings: TP rules + data-axis FSDP extension."""
+    model_size = int(mesh.shape.get(MODEL_AXIS, 1))
+    data_size = int(mesh.shape.get(DATA_AXIS, 1))
+
+    def one(path, leaf):
+        names = _path_names(path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = spec_for_param(
+            names, getattr(leaf, "ndim", 0), shape, model_size=model_size
+        )
+        return NamedSharding(
+            mesh, fsdp_spec_for_param(spec, shape, data_size, min_elements)
+        )
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def batch_spec() -> P:
     """Batch arrays: leading dim over ``data``."""
     return P(DATA_AXIS)
@@ -129,8 +201,17 @@ def batch_shardings(mesh: Mesh, arrays: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
-def shard_params(mesh: Mesh, params: Dict) -> Dict:
+def shard_params(
+    mesh: Mesh,
+    params: Dict,
+    fsdp: bool = False,
+    fsdp_min_elements: int | None = None,
+) -> Dict:
     """Place a parameter pytree onto the mesh per the TP rules.
+
+    ``fsdp=True`` additionally shards every large leaf over the ``data``
+    axis (``fsdp_param_shardings``) — ZeRO-3-style memory scaling for
+    full-backbone training.
 
     int4 leaves on TPU meshes route through ``device.stage_int4`` (jax 0.9
     cannot relayout an s4 array — ``device.py``'s layout-staging note): host
@@ -143,7 +224,10 @@ def shard_params(mesh: Mesh, params: Dict) -> Dict:
     """
     import jax.numpy as jnp
 
-    shardings = param_shardings(mesh, params)
+    if fsdp:
+        shardings = fsdp_param_shardings(mesh, params, fsdp_min_elements)
+    else:
+        shardings = param_shardings(mesh, params)
     if not any(d.platform == "tpu" for d in mesh.devices.flat):
         return jax.device_put(params, shardings)
     from ..device import stage_int4

@@ -96,6 +96,14 @@ class TrainingConfig:
     # Keep only the newest N step-* checkpoint dirs (None/0 = keep all).
     # Preemption/final checkpoints are never pruned.
     keep_last_n: Optional[int] = 5
+    # FSDP (ZeRO-3-style): additionally shard every large parameter — and,
+    # through inheritance, its gradient and AdamW moments — over the mesh's
+    # ``data`` axis (parallel/sharding.py::fsdp_param_shardings). Memory per
+    # chip for params+grads+opt-state drops by |data| while the math stays
+    # DP-identical (GSPMD all-gathers params at use, reduce-scatters grads).
+    # Required for full-backbone (``train_backbone=True``) 7B training on
+    # v5e-16GB chips; a no-op without a mesh.
+    fsdp: bool = False
 
 
 class Trainer:
@@ -152,9 +160,12 @@ class Trainer:
             from ..parallel import shard_params
 
             # Sharded init: opt state inherits the param shardings through
-            # zeros_like et al.
-            self.trainable = shard_params(self.mesh, self.trainable)
-            self.frozen = shard_params(self.mesh, self.frozen)
+            # zeros_like et al. With config.fsdp the shardings additionally
+            # split large leaves over the data axis (ZeRO-3 memory scaling).
+            self.trainable = shard_params(
+                self.mesh, self.trainable, fsdp=self.config.fsdp
+            )
+            self.frozen = shard_params(self.mesh, self.frozen, fsdp=self.config.fsdp)
         self.opt_state = tx.init(self.trainable)
 
         self._rng = jax.random.PRNGKey(self.config.seed)
@@ -179,7 +190,30 @@ class Trainer:
             _, metrics = loss_fn(trainable, frozen, arrays, train=False)
             return metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        out_shardings = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # Pin updated params/opt-state to their input (TP/FSDP) layout:
+            # without the constraint XLA may keep all-gathered copies of
+            # FSDP-sharded leaves, forfeiting the memory the sharding buys.
+            # Leaves optax created eagerly (e.g. step counters) carry a
+            # single-device sharding — normalize them to mesh-replicated so
+            # the program has one consistent device set.
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+
+            def mesh_sharding(x):
+                s = getattr(x, "sharding", None)
+                if isinstance(s, NamedSharding) and s.mesh == self.mesh:
+                    return s
+                return replicated
+
+            param_sh = jax.tree_util.tree_map(mesh_sharding, self.trainable)
+            opt_sh = jax.tree_util.tree_map(mesh_sharding, self.opt_state)
+            out_shardings = (param_sh, opt_sh, None)
+        self._train_step = jax.jit(
+            train_step, donate_argnums=(0, 1), out_shardings=out_shardings
+        )
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
