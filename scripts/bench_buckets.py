@@ -104,11 +104,11 @@ def _prefill_burst(server, jnp, width, image_size, batch, chain, seed,
     def once(ids):
         return server._prefill(server.params, images, ids, mask, key)
 
-    tokens, _ = once(ids)  # compile + warm
+    tokens, _, _ = once(ids)  # compile + warm
     np.asarray(tokens)
     t0 = time.perf_counter()
     for _ in range(chain):
-        tokens, _ = once(ids.at[:, 0].set(tokens % 997 + 3))
+        tokens, _, _ = once(ids.at[:, 0].set(tokens % 997 + 3))
     np.asarray(tokens)  # single fetch awaits the whole chain
     return (time.perf_counter() - t0) / chain
 

@@ -64,6 +64,12 @@ class ServeArgs:
     decode_impl: str = "auto"
     # Pool size in pages (default: every slot at max length + trash page).
     num_pages: Optional[int] = None
+    # >0 enables automatic prefix caching over that many distinct prompts
+    # (paged server only): repeated prompts skip prefill and share their
+    # prompt pages copy-on-write (serving/paged_kv.py).
+    prefix_cache: int = 0
+    # Fraction of requests reusing one shared prompt (prefix-cache demo).
+    repeat_fraction: float = 0.0
 
 
 def main(args: ServeArgs) -> None:
@@ -128,6 +134,7 @@ def main(args: ServeArgs) -> None:
             seed=args.seed,
             prefill_batch=args.prefill_batch,
             decode_impl=args.decode_impl,
+            prefix_cache_size=args.prefix_cache,
         )
     else:
         server = GenerationServer(
@@ -145,14 +152,24 @@ def main(args: ServeArgs) -> None:
         )
 
     rng = np.random.default_rng(args.seed)
+    shared_request = None
 
     def make_request():
+        nonlocal shared_request
+        # VLA-style repeated task prompts: with --repeat-fraction p, a share
+        # of requests reuse one fixed (prompt, image) — the prefix cache's
+        # common case.
+        if args.repeat_fraction > 0 and shared_request is not None:
+            if rng.random() < args.repeat_fraction:
+                return shared_request
         length = int(rng.integers(4, args.prompt_len + 1))
         ids = np.zeros((1, args.prompt_len), np.int32)
         mask = np.zeros((1, args.prompt_len), np.int32)
         ids[0, :length] = rng.integers(3, 250, length)
         mask[0, :length] = 1
         image = rng.random((1, 3, size, size), dtype=np.float32)
+        if shared_request is None:
+            shared_request = (ids, mask, image)
         return ids, mask, image
 
     submitted = 0
@@ -185,6 +202,9 @@ def main(args: ServeArgs) -> None:
         "ticks": len(tick_times),
         "device": str(jax.devices()[0]),
     }
+    if args.prefix_cache > 0 and args.paged:
+        summary["prefix_cache_hits"] = server.prefix_cache_hits
+        summary["prefix_cache_misses"] = server.prefix_cache_misses
     print(json.dumps(summary))
 
 

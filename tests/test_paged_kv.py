@@ -208,3 +208,151 @@ class TestPagedServer:
         server.run_to_completion()
         assert server.pool.free_pages == before
         assert server.num_active == 0
+
+
+class TestPrefixCache:
+    """Automatic prefix caching (vLLM-style page sharing, round 3).
+
+    A repeated (prompt, image) pair skips the prefill program: full prompt
+    pages are installed by reference, the decode-written tail page is copied
+    privately (copy-on-write), and the first token samples from the cached
+    last-position logits. Greedy outputs must be token-exact vs the uncached
+    server; page refcounts must balance through finish/eviction.
+    """
+
+    @pytest.mark.parametrize("page_size", [4, 16])
+    def test_hits_token_exact_vs_uncached(self, vlm, page_size):
+        # page_size=4: prefill (16 img + 8 text = 24) is page-aligned;
+        # page_size=16: partial tail page -> copy-on-write path.
+        cfg, model, params = vlm
+        prompt_len, new = 8, 6
+        base = _requests(2, prompt_len, cfg.image_size, seed=3)
+        # duplicates of request 0 interleaved with a distinct request
+        reqs = [base[0], base[1], base[0], base[0]]
+
+        def run(cache_size):
+            server = PagedGenerationServer(
+                model, params, num_slots=2, prompt_len=prompt_len,
+                max_new_tokens=new, eos_token_id=-1, page_size=page_size,
+                prefix_cache_size=cache_size,
+            )
+            outputs = {}
+            for ids, mask, img in reqs:
+                while not server.has_free_slot():
+                    outputs.update(server.step())
+                server.submit(ids, mask, img)
+            outputs.update(server.run_to_completion())
+            return server, outputs
+
+        _, ref = run(0)
+        server, got = run(4)
+        assert server.prefix_cache_hits == 2
+        assert server.prefix_cache_misses == 2
+        assert sorted(ref) == sorted(got)
+        for rid in ref:
+            np.testing.assert_array_equal(
+                np.asarray(got[rid]), np.asarray(ref[rid]), err_msg=f"req {rid}"
+            )
+
+    def test_hit_skips_prefill_program(self, vlm):
+        cfg, model, params = vlm
+        prompt_len, new = 8, 3
+        server = PagedGenerationServer(
+            model, params, num_slots=2, prompt_len=prompt_len,
+            max_new_tokens=new, eos_token_id=-1, page_size=4,
+            prefix_cache_size=2,
+        )
+        calls = []
+        inner = server._prefill
+        server._prefill = lambda *a, **k: (calls.append(1), inner(*a, **k))[1]
+        req = _requests(1, prompt_len, cfg.image_size, seed=5)[0]
+        server.submit(*req)
+        server.run_to_completion()
+        assert len(calls) == 1
+        server.submit(*req)  # identical -> cache hit
+        out = server.run_to_completion()
+        assert len(calls) == 1  # prefill never re-ran
+        assert len(next(iter(out.values()))) == new
+
+    def test_concurrent_sharing_uses_fewer_pages(self, vlm):
+        """Two concurrent slots on the same prompt share its full pages."""
+        cfg, model, params = vlm
+        prompt_len, new = 8, 6
+        page_size = 4
+        req = _requests(1, prompt_len, cfg.image_size, seed=6)[0]
+        prefill_len = cfg.num_image_tokens + prompt_len  # 24 -> 6 pages
+
+        def used_pages(server):
+            return (server.pool.num_pages - 1) - server.pool.free_pages
+
+        def run(cache_size):
+            server = PagedGenerationServer(
+                model, params, num_slots=2, prompt_len=prompt_len,
+                max_new_tokens=new, eos_token_id=-1, page_size=page_size,
+                prefix_cache_size=cache_size, prefill_batch=1,
+            )
+            server.submit(*req)
+            server.submit(*req)
+            server.flush()
+            return server
+
+        uncached = run(0)
+        cached = run(2)
+        # uncached: both slots hold their own prompt pages; cached: the
+        # second slot shares all six (aligned prefix) and adds one private
+        # decode page.
+        assert used_pages(cached) < used_pages(uncached)
+        # drain both; every page must return (refcounts balance), except
+        # the pages the cache entry still pins.
+        cached.run_to_completion()
+        entry_pages = sum(
+            len(e["pages"]) for e in cached._prefix_cache.values()
+        )
+        assert used_pages(cached) == entry_pages
+
+    def test_eviction_releases_pages(self, vlm):
+        cfg, model, params = vlm
+        prompt_len, new = 8, 3
+        server = PagedGenerationServer(
+            model, params, num_slots=1, prompt_len=prompt_len,
+            max_new_tokens=new, eos_token_id=-1, page_size=4,
+            prefix_cache_size=1,
+        )
+        reqs = _requests(2, prompt_len, cfg.image_size, seed=8)
+        for req in reqs:  # two distinct prompts through a size-1 LRU
+            server.submit(*req)
+            server.run_to_completion()
+        assert len(server._prefix_cache) == 1
+        # all pages back except the surviving entry's pins
+        used = (server.pool.num_pages - 1) - server.pool.free_pages
+        entry = next(iter(server._prefix_cache.values()))
+        assert used == len(entry["pages"])
+
+    def test_pool_copy_on_write_isolates_pages(self):
+        """Pool-level COW: a private copy of a shared page diverges without
+        touching the original (the property greedy e2e cannot observe)."""
+
+        cfg = qwen2_tiny()
+        pool = PagedKVPool(cfg, num_pages=6, page_size=4, num_slots=2,
+                           max_len=8)
+        pool.allocate(0, 4)  # slot 0 owns page A
+        page_a = int(pool.page_table[0, 0])
+        marked = pool.pool_k.at[:, page_a].set(7.0)
+        pool.pool_k = marked
+        # share into slot 1, then give slot 1 a private copy
+        pool.install(1, 0, page_a)
+        assert pool._refcount[page_a] == 2
+        # emulate the server's COW: repoint slot 1 at a fresh page and copy
+        pool.release_page(page_a)
+        pool.page_table[1, 0] = 0
+        pool.allocate(1, 4)
+        page_b = int(pool.page_table[1, 0])
+        assert page_b != page_a
+        pool.pool_k = pool.pool_k.at[:, page_b].set(pool.pool_k[:, page_a])
+        pool.pool_k = pool.pool_k.at[:, page_b, :, 0].set(-1.0)
+        assert float(pool.pool_k[0, page_a, 0, 0, 0]) == 7.0
+        assert float(pool.pool_k[0, page_b, 0, 0, 0]) == -1.0
+        # refcount balance: freeing both slots returns every page
+        pool.free(0)
+        pool.free(1)
+        assert pool.free_pages == 5

@@ -69,6 +69,7 @@ class _Pending:
     attention_mask: np.ndarray  # (1, bucket)
     images: Optional[np.ndarray]  # (1, 3, S, S) | None
     bucket: int = 0  # compiled prompt width this request was padded to
+    key: Optional[bytes] = None  # prefix-cache key (None = caching off)
 
 
 class PagedKVPool:
@@ -114,6 +115,9 @@ class PagedKVPool:
         self.pool_v = jnp.zeros(shape, dtype)
         # Page 0 = trash: never allocated, absorbs writes from dummy rows.
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        # Reference counts (prefix caching shares read-only prompt pages
+        # across slots; a page returns to the free list at refcount 0).
+        self._refcount = np.zeros(num_pages, np.int64)
         # Host page tables; 0 (trash) marks unallocated entries.
         self.page_table = np.zeros((num_slots, self.pages_per_slot), np.int32)
         # Worst-case page reservations per slot (admission control): pages
@@ -167,13 +171,37 @@ class PagedKVPool:
         for i in range(have, need):
             if not self._free:
                 raise RuntimeError("paged KV pool exhausted")
-            self.page_table[slot, i] = self._free.pop()
+            page = self._free.pop()
+            self._refcount[page] = 1
+            self.page_table[slot, i] = page
+
+    def add_ref(self, page: int) -> None:
+        """Take an extra reference on an allocated page (prefix sharing)."""
+        if page <= 0 or self._refcount[page] <= 0:
+            raise ValueError(f"cannot add_ref unallocated page {page}")
+        self._refcount[page] += 1
+
+    def install(self, slot: int, index: int, page: int) -> None:
+        """Point ``slot``'s table entry ``index`` at a shared ``page``
+        (takes a reference; the caller owns exactness — shared pages must
+        be read-only for this slot below its private write cursor)."""
+        self.add_ref(page)
+        self.page_table[slot, index] = page
+
+    def release_page(self, page: int) -> None:
+        """Drop one reference; the page frees at refcount 0."""
+        page = int(page)
+        if page <= 0:
+            return
+        self._refcount[page] -= 1
+        if self._refcount[page] == 0:
+            self._free.append(page)
+        elif self._refcount[page] < 0:
+            raise RuntimeError(f"page {page} over-released")
 
     def free(self, slot: int) -> None:
         for i in range(self.pages_per_slot):
-            page = int(self.page_table[slot, i])
-            if page:
-                self._free.append(page)
+            self.release_page(int(self.page_table[slot, i]))
         self.page_table[slot] = 0
         self._reserved[slot] = 0
 
@@ -218,6 +246,7 @@ class PagedGenerationServer:
         seed: int = 0,
         prefill_batch: int = 4,
         decode_impl: str = "auto",
+        prefix_cache_size: int = 0,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -232,7 +261,20 @@ class PagedGenerationServer:
         window program. "auto" picks "kernel" except where it does not
         apply yet: int8 pools (the kernel reads raw pages) and TP meshes
         (a pallas_call is not GSPMD-partitionable; the sharded program
-        needs the gathered path)."""
+        needs the gathered path).
+
+        ``prefix_cache_size``: >0 enables vLLM-style automatic prefix
+        caching over that many distinct prompts (LRU): a request whose
+        padded (ids, mask, image) bytes match a previously prefilled
+        prompt skips the prefill program entirely — its full prompt pages
+        are installed by reference (pool refcounts; prompt rows are
+        immutable once written, so sharing is exact) and the partial tail
+        page, which decode writes into, is copied to a private page
+        (copy-on-write). The first token is sampled from the cached
+        last-position logits with a fresh key, so sampling semantics are
+        unchanged. VLA serving repeats task prompts across parallel envs,
+        making this the common case. 0 disables (no reference counterpart:
+        the reference has no serving path at all)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -251,6 +293,16 @@ class PagedGenerationServer:
         self._sample_counter = 0
         self.prefill_batch = max(1, min(prefill_batch, num_slots))
         self._pending: List[_Pending] = []
+        # Prefix cache: key -> {"pages", "logits", "mask", "prefill_len"}
+        # (OrderedDict = LRU). None when disabled.
+        from collections import OrderedDict
+
+        self.prefix_cache_size = int(prefix_cache_size)
+        self._prefix_cache: Optional[dict] = (
+            OrderedDict() if self.prefix_cache_size > 0 else None
+        )
+        self.prefix_cache_hits = 0
+        self.prefix_cache_misses = 0
 
         cfg = model.cfg
         logical = cfg.num_image_tokens + self.prompt_len + max_new_tokens
@@ -264,6 +316,12 @@ class PagedGenerationServer:
             # request is admitted), so fewer pages bound CONCURRENCY while
             # pages recycle across sequential requests and early EOS.
             num_pages = num_slots * page_count + 1
+            if prefix_cache_size > 0:
+                # Headroom for cache-pinned prompt pages, so a full cache
+                # never pushes admission capacity below num_slots.
+                prompt_pages = -(-(cfg.num_image_tokens + self.prompt_len)
+                                 // page_size)
+                num_pages += prefix_cache_size * prompt_pages
         self.pool = PagedKVPool(
             cfg.text, num_pages, page_size, num_slots, self._max_len
         )
@@ -350,7 +408,9 @@ class PagedGenerationServer:
             if quantized:
                 rows["k_scale"] = cache["k_scale"]
                 rows["v_scale"] = cache["v_scale"]
-            return tokens, rows
+            # last_logits ride along for the prefix cache (tiny; fetched
+            # host-side only when caching is on).
+            return tokens, last_logits, rows
 
         def _paged(buf):
             # (L, bp, max_len, K[, D]) -> (L, bp, P, K, page[, D]) pool layout
@@ -500,6 +560,19 @@ class PagedGenerationServer:
         tick = decode_tick_kernel if self.decode_impl == "kernel" else decode_tick
         self._decode = jax.jit(tick, donate_argnums=(1,))
 
+        def copy_page(pools, src, dst):
+            """Copy one physical page across every pool buffer (page axis 1)
+            — the copy-on-write step for a shared partial tail page."""
+            return {
+                name: buf.at[:, dst].set(buf[:, src]) for name, buf in pools.items()
+            }
+
+        self._copy_page = jax.jit(copy_page, donate_argnums=(0,))
+        # Fresh-key sampling over cached last-position logits (prefix hits).
+        self._sample_cached = jax.jit(
+            lambda logits, key: sample_tokens(logits[None], key, temp, top_p_)[0]
+        )
+
     # ------------------------------------------------------------------
 
     def _next_key(self):
@@ -552,13 +625,39 @@ class PagedGenerationServer:
         self._slots[slot_idx].claimed = True
         rid = self._next_rid
         self._next_rid += 1
-        self._pending.append(_Pending(rid, slot_idx, ids, mask, images, bucket))
+        key = None
+        if self._prefix_cache is not None:
+            import hashlib
+
+            h = hashlib.sha1()
+            h.update(np.int64(bucket).tobytes())
+            h.update(ids.tobytes())
+            h.update(mask.tobytes())
+            if images is not None:
+                img = np.ascontiguousarray(images)
+                h.update(np.asarray(img.shape, np.int64).tobytes())
+                h.update(img.tobytes())
+            key = h.digest()
+        self._pending.append(_Pending(rid, slot_idx, ids, mask, images, bucket, key))
         return rid
 
     def flush(self) -> None:
-        """Admit queued requests, ``prefill_batch`` per compiled call,
-        grouped by prompt bucket (one compiled width per call)."""
+        """Admit queued requests: prefix-cache hits skip the prefill program
+        entirely; misses run batched ``prefill_batch`` per compiled call,
+        grouped by prompt bucket (one compiled width per call). Hits are
+        re-checked after every miss batch — a repeated prompt submitted
+        twice in one flush prefills once and hits the second time."""
         while self._pending:
+            if self._prefix_cache is not None:
+                hits = [p for p in self._pending if p.key in self._prefix_cache]
+                if hits:
+                    taken = {id(p) for p in hits}
+                    self._pending = [
+                        p for p in self._pending if id(p) not in taken
+                    ]
+                    for req in hits:
+                        self._admit_from_cache(req)
+                    continue
             bucket = self._pending[0].bucket
             batch = [p for p in self._pending if p.bucket == bucket][
                 : self.prefill_batch
@@ -594,7 +693,7 @@ class PagedGenerationServer:
             self.pool.allocate(req.slot, prefill_len + 1)
             pages[row] = self.pool.page_table[req.slot]
 
-        tokens, rows = self._prefill(
+        tokens, last_logits, rows = self._prefill(
             self.params,
             jnp.asarray(images) if images is not None else None,
             jnp.asarray(ids),
@@ -617,7 +716,80 @@ class PagedGenerationServer:
             slot.length = prefill_len
             self._slot_mask[req.slot] = masks_host[row]
             self._pending_token[req.slot] = int(tokens_host[row])
+            if self._prefix_cache is not None:
+                self.prefix_cache_misses += 1
+                self._cache_insert(req, prefill_len, last_logits[row])
             self._finish_if_done(req.slot)
+
+    def _cache_insert(self, req: _Pending, prefill_len: int, logits) -> None:
+        """Record ``req``'s prompt pages + last-position logits for reuse.
+
+        The cache holds its own page references, so entries outlive the
+        owning request (prompt rows are write-once: the owner only ever
+        writes positions >= prefill_len, all within the tail page a hit
+        copies privately)."""
+        cache = self._prefix_cache
+        if req.key is None or req.key in cache:
+            return
+        n_pages = self.pool.pages_needed(prefill_len)
+        pages = [int(self.pool.page_table[req.slot, i]) for i in range(n_pages)]
+        for p in pages:
+            self.pool.add_ref(p)
+        cache[req.key] = {
+            "pages": pages,
+            "logits": logits,  # (V,) device array — tiny
+            "mask": self._slot_mask[req.slot].copy(),
+            "prefill_len": prefill_len,
+        }
+        cache.move_to_end(req.key)
+        while len(cache) > self.prefix_cache_size:
+            _, evicted = cache.popitem(last=False)
+            for p in evicted["pages"]:
+                self.pool.release_page(p)
+
+    def _admit_from_cache(self, req: _Pending) -> None:
+        """Admit a prefix-cache hit without running the prefill program.
+
+        Full prompt pages are installed by reference; the tail page —
+        which this slot's decode will write at ``prefill_len % page`` — is
+        copied to a private page (copy-on-write). The first token samples
+        from the cached last-position logits under a fresh key."""
+        entry = self._prefix_cache[req.key]
+        self._prefix_cache.move_to_end(req.key)
+        self.prefix_cache_hits += 1
+        prefill_len = entry["prefill_len"]
+        page = self.pool.page_size
+        n_full = prefill_len // page
+        partial = prefill_len % page
+        slot_idx = req.slot
+        for i in range(n_full):
+            self.pool.install(slot_idx, i, entry["pages"][i])
+        # One fresh page: the private tail copy (partial) or the first
+        # decode page (page-aligned prefix).
+        self.pool.allocate(slot_idx, prefill_len + 1)
+        if partial:
+            dst = int(self.pool.page_table[slot_idx, n_full])
+            src = entry["pages"][n_full]
+            self.pool.set_pools(
+                self._copy_page(
+                    self.pool.pools(),
+                    jnp.asarray(src, jnp.int32),
+                    jnp.asarray(dst, jnp.int32),
+                )
+            )
+        token = int(
+            np.asarray(self._sample_cached(entry["logits"], self._next_key()))
+        )
+        slot = self._slots[slot_idx]
+        slot.request_id = req.request_id
+        slot.claimed = False
+        slot.active = True
+        slot.tokens = [token]
+        slot.remaining = self.max_new_tokens - 1
+        slot.length = prefill_len
+        self._slot_mask[slot_idx] = entry["mask"]
+        self._pending_token[slot_idx] = token
+        self._finish_if_done(slot_idx)
 
     def _finish_if_done(self, slot_idx: int) -> None:
         slot = self._slots[slot_idx]
