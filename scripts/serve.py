@@ -70,6 +70,11 @@ class ServeArgs:
     prefix_cache: int = 0
     # Fraction of requests reusing one shared prompt (prefix-cache demo).
     repeat_fraction: float = 0.0
+    # >0 = chunked prefill (paged server only): each tick does at most one
+    # admission chunk of this many prompt tokens (vision encode is its own
+    # chunk), bounding how long an arrival stalls in-flight decodes. Prompt
+    # buckets must be multiples of the chunk. 0 = whole-prompt admission.
+    prefill_chunk_tokens: int = 0
 
 
 def main(args: ServeArgs) -> None:
@@ -135,6 +140,7 @@ def main(args: ServeArgs) -> None:
             prefill_batch=args.prefill_batch,
             decode_impl=args.decode_impl,
             prefix_cache_size=args.prefix_cache,
+            prefill_chunk_tokens=args.prefill_chunk_tokens,
         )
     else:
         server = GenerationServer(

@@ -288,6 +288,56 @@ class FastVLM(nn.Module):
         logits = self._logits(hidden, tied)
         return logits[:, -1, :], new_cache
 
+    def prefill_image_chunk(self, images: jnp.ndarray, cache: dict) -> dict:
+        """Chunked prefill, stage 0: write the image rows into the cache.
+
+        Vision encode + projector run as their own cached step — the
+        ``num_image_tokens`` projected embeddings land at cache slots
+        ``[0, N_img)`` (the cursor starts at 0) with RoPE positions
+        ``0..N_img-1``, exactly where ``prefill``'s front-splice puts them
+        (``_splice``). Chunked prefill lets a serving tick bound its
+        admission work to one chunk instead of the whole prompt
+        (``serving/paged_kv.py``, ``prefill_chunk_tokens``); no reference
+        counterpart (the reference has no serving path,
+        ``lerobot_fastvla/modeling_fastvla.py:113-125`` is one eager
+        forward per env step).
+        """
+        image_embeds = self.encode_images(images)
+        b, n_img, _ = image_embeds.shape
+        _, new_cache, _ = self.language_model(
+            inputs_embeds=image_embeds,
+            attention_mask=jnp.ones((b, n_img), jnp.int32),
+            cache=cache,
+            causal=True,
+        )
+        return new_cache
+
+    def prefill_text_chunk(
+        self,
+        input_ids: jnp.ndarray,  # (B, C)
+        attention_mask: jnp.ndarray,  # (B, C) 1 = real token
+        cache: dict,
+    ):
+        """Chunked prefill, stage 1+: one (B, C) prompt chunk vs the cache.
+
+        Returns ``((B, C, V) logits, new_cache)``. The cached-decode branch
+        of ``Qwen2Model`` gives exact prefill semantics per chunk: new K/V
+        rows land at slots ``[index, index+C)``, causality runs on slot
+        indices (position i sees cache + chunk positions <= i), RoPE
+        positions continue each row's TRUE valid count (pads advance the
+        cursor but stay masked — identical to the unchunked padded
+        prefill's dead-slot accounting, see ``prefill``). Exactness vs the
+        one-shot prefill is pinned in ``tests/test_chunked_prefill.py``.
+        """
+        hidden, new_cache, tied = self.language_model(
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            cache=cache,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        return self._logits(hidden, tied), new_cache
+
     def verify_step(self, input_ids: jnp.ndarray, cache: dict):
         """Multi-token cached decode returning EVERY position's logits.
 

@@ -72,6 +72,27 @@ class _Pending:
     key: Optional[bytes] = None  # prefix-cache key (None = caching off)
 
 
+@dataclasses.dataclass
+class _Inflight:
+    """A chunked admission in progress (``prefill_chunk_tokens`` > 0).
+
+    The batch prefills into its own dense chunk cache one chunk per
+    ``step()``; when the last chunk lands, the rows scatter into the page
+    pool and the slots activate — decode ticks for already-active slots
+    run between chunks, so admission never stalls the serving loop by more
+    than one chunk's compute."""
+
+    batch: List[_Pending]
+    bucket: int
+    ids: np.ndarray  # (bp, bucket) host
+    mask: np.ndarray  # (bp, bucket) host
+    images: Optional[np.ndarray]  # (bp, ...) host | None
+    cache: dict  # device dense cache (bp, max_len) the chunks fill
+    last_logits: object  # (bp, V) device, running last-real-position logits
+    images_done: bool  # image chunk dispatched (or not needed)
+    chunk_idx: int = 0  # next text chunk
+
+
 class PagedKVPool:
     """Host-managed page allocator over device-resident K/V pools."""
 
@@ -247,6 +268,7 @@ class PagedGenerationServer:
         prefill_batch: int = 4,
         decode_impl: str = "auto",
         prefix_cache_size: int = 0,
+        prefill_chunk_tokens: int = 0,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -274,7 +296,19 @@ class PagedGenerationServer:
         last-position logits with a fresh key, so sampling semantics are
         unchanged. VLA serving repeats task prompts across parallel envs,
         making this the common case. 0 disables (no reference counterpart:
-        the reference has no serving path at all)."""
+        the reference has no serving path at all).
+
+        ``prefill_chunk_tokens``: >0 switches admission to CHUNKED prefill
+        (vLLM-style): each ``step()`` does at most one chunk of admission
+        work — the vision encode+projector as its own program, then the
+        prompt ``prefill_chunk_tokens`` text tokens at a time — before the
+        decode tick, so a long-prompt arrival stalls in-flight decodes by
+        one chunk's compute instead of a whole prefill. Token-exact vs
+        unchunked admission (``tests/test_chunked_prefill.py``): the
+        model's cached-decode branch gives exact prefill semantics per
+        chunk (slot causality + true-count RoPE, ``models/fastvlm.py::
+        prefill_text_chunk``). Every prompt bucket must be a multiple of
+        the chunk size. 0 (default) admits whole prompts per program."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -292,6 +326,17 @@ class PagedGenerationServer:
         self._base_key = jax.random.PRNGKey(seed)
         self._sample_counter = 0
         self.prefill_batch = max(1, min(prefill_batch, num_slots))
+        self.prefill_chunk_tokens = int(prefill_chunk_tokens)
+        if self.prefill_chunk_tokens:
+            bad = [
+                b for b in self.prompt_buckets if b % self.prefill_chunk_tokens
+            ]
+            if bad:
+                raise ValueError(
+                    f"prompt buckets {bad} are not multiples of "
+                    f"prefill_chunk_tokens={self.prefill_chunk_tokens}"
+                )
+        self._inflight: Optional[_Inflight] = None
         self._pending: List[_Pending] = []
         # Prefix cache: key -> {"pages", "logits", "mask", "prefill_len"}
         # (OrderedDict = LRU). None when disabled.
@@ -573,6 +618,37 @@ class PagedGenerationServer:
             lambda logits, key: sample_tokens(logits[None], key, temp, top_p_)[0]
         )
 
+        if self.prefill_chunk_tokens:
+
+            def image_chunk(params, images, cache):
+                return model.apply(
+                    {"params": params}, images, cache,
+                    method=FastVLM.prefill_image_chunk,
+                )
+
+            def text_chunk(params, ids, mask, cache, last):
+                logits, new_cache = model.apply(
+                    {"params": params}, ids, mask, cache,
+                    method=FastVLM.prefill_text_chunk,
+                )
+                # Running last-real-position logits: a row whose prompt has
+                # real tokens in this chunk takes its last real position's
+                # logits; rows already past their prompt keep the earlier
+                # chunk's value (right-padded prompts — the last real token
+                # lands in exactly one chunk).
+                has = mask.astype(bool).any(axis=1)
+                idx = mask.shape[1] - 1 - jnp.argmax(mask[:, ::-1], axis=1)
+                chunk_last = jnp.take_along_axis(
+                    logits, idx[:, None, None], axis=1
+                )[:, 0]
+                return jnp.where(has[:, None], chunk_last, last), new_cache
+
+            self._image_chunk = jax.jit(image_chunk, donate_argnums=(2,))
+            self._text_chunk = jax.jit(text_chunk, donate_argnums=(3, 4))
+            self._sample_batch = jax.jit(
+                lambda logits, key: sample_tokens(logits, key, temp, top_p_)
+            )
+
     # ------------------------------------------------------------------
 
     def _next_key(self):
@@ -589,7 +665,8 @@ class PagedGenerationServer:
 
     @property
     def num_active(self) -> int:
-        return sum(s.active for s in self._slots) + len(self._pending)
+        inflight = len(self._inflight.batch) if self._inflight else 0
+        return sum(s.active for s in self._slots) + len(self._pending) + inflight
 
     def submit(
         self,
@@ -646,7 +723,15 @@ class PagedGenerationServer:
         entirely; misses run batched ``prefill_batch`` per compiled call,
         grouped by prompt bucket (one compiled width per call). Hits are
         re-checked after every miss batch — a repeated prompt submitted
-        twice in one flush prefills once and hits the second time."""
+        twice in one flush prefills once and hits the second time.
+
+        Under chunked admission (``prefill_chunk_tokens`` > 0) this drains
+        every pending and in-flight admission to completion — the
+        chunk-per-tick pacing only applies through ``step()``."""
+        if self.prefill_chunk_tokens:
+            while self._pending or self._inflight is not None:
+                self._admission_work()
+            return
         while self._pending:
             if self._prefix_cache is not None:
                 hits = [p for p in self._pending if p.key in self._prefix_cache]
@@ -719,6 +804,135 @@ class PagedGenerationServer:
             if self._prefix_cache is not None:
                 self.prefix_cache_misses += 1
                 self._cache_insert(req, prefill_len, last_logits[row])
+            self._finish_if_done(req.slot)
+
+    def _admission_work(self) -> None:
+        """One unit of chunked admission work (``prefill_chunk_tokens`` > 0):
+        start a batch or dispatch its next chunk; finalize on the last one.
+
+        Prefix-cache hits are admitted immediately (no prefill program to
+        chunk); a miss batch then runs one program per call — the image
+        chunk (vision encode + projector) first, then ``prefill_chunk_
+        tokens``-wide text chunks against the growing dense cache."""
+        inf = self._inflight
+        if inf is None:
+            if not self._pending:
+                return
+            if self._prefix_cache is not None:
+                hits = [p for p in self._pending if p.key in self._prefix_cache]
+                if hits:
+                    taken = {id(p) for p in hits}
+                    self._pending = [
+                        p for p in self._pending if id(p) not in taken
+                    ]
+                    for req in hits:
+                        self._admit_from_cache(req)
+                    if not self._pending:
+                        return
+            bucket = self._pending[0].bucket
+            batch = [p for p in self._pending if p.bucket == bucket][
+                : self.prefill_batch
+            ]
+            taken = {id(p) for p in batch}
+            self._pending = [p for p in self._pending if id(p) not in taken]
+            inf = self._start_inflight(batch)
+            self._inflight = inf
+        if not inf.images_done:
+            inf.cache = self._image_chunk(
+                self.params, jnp.asarray(inf.images), inf.cache
+            )
+            inf.images_done = True
+            return
+        c = self.prefill_chunk_tokens
+        lo = inf.chunk_idx * c
+        inf.last_logits, inf.cache = self._text_chunk(
+            self.params,
+            jnp.asarray(inf.ids[:, lo : lo + c]),
+            jnp.asarray(inf.mask[:, lo : lo + c]),
+            inf.cache,
+            inf.last_logits,
+        )
+        inf.chunk_idx += 1
+        if inf.chunk_idx * c >= inf.bucket:
+            self._finalize_inflight(inf)
+            self._inflight = None
+
+    def _start_inflight(self, batch: List[_Pending]) -> _Inflight:
+        """Host-side setup for a chunked admission batch: the same padded
+        (bp, bucket) arrays ``_admit`` builds, page allocation up front, a
+        fresh dense chunk cache, and zeroed running last-logits."""
+        from ..models.qwen2 import init_kv_cache
+
+        cfg = self.model.cfg
+        bp = self.prefill_batch
+        n = len(batch)
+        width = batch[0].bucket
+        prefill_len = cfg.num_image_tokens + width
+        ids = np.zeros((bp, width), np.int32)
+        mask = np.zeros((bp, width), np.int32)
+        ids[n:, 0] = max(self.eos_token_id, 0)
+        mask[n:, 0] = 1
+        images = None
+        if batch[0].images is not None:
+            img0 = np.asarray(batch[0].images)
+            images = np.zeros((bp,) + img0.shape[1:], img0.dtype)
+        for row, req in enumerate(batch):
+            ids[row] = req.input_ids[0]
+            mask[row] = req.attention_mask[0]
+            if images is not None:
+                images[row] = req.images[0]
+            self.pool.allocate(req.slot, prefill_len + 1)
+        cache = init_kv_cache(cfg.text, bp, self._max_len)
+        last = jnp.zeros((bp, cfg.text.vocab_size), cfg.text.dtype)
+        return _Inflight(
+            batch=batch,
+            bucket=width,
+            ids=ids,
+            mask=mask,
+            images=images,
+            cache=cache,
+            last_logits=last,
+            images_done=images is None or cfg.num_image_tokens == 0,
+        )
+
+    def _finalize_inflight(self, inf: _Inflight) -> None:
+        """Last chunk landed: scatter the dense chunk cache into the page
+        pool (the same program unchunked admission uses), sample each
+        request's first token from the running last-logits, activate."""
+        prefill_len = self.model.cfg.num_image_tokens + inf.bucket
+        pages = np.zeros(
+            (self.prefill_batch, self.pool.pages_per_slot), np.int32
+        )
+        for row, req in enumerate(inf.batch):
+            pages[row] = self.pool.page_table[req.slot]
+        rows = {
+            "k": inf.cache["k"],
+            "v": inf.cache["v"],
+            "mask": inf.cache["mask"],
+        }
+        if self.pool.quantized:
+            rows["k_scale"] = inf.cache["k_scale"]
+            rows["v_scale"] = inf.cache["v_scale"]
+        self.pool.set_pools(
+            self._scatter(self.pool.pools(), rows, jnp.asarray(pages))
+        )
+        tokens_host = np.asarray(
+            self._sample_batch(inf.last_logits, self._next_key())
+        )
+        masks_host = np.asarray(inf.cache["mask"])
+        for row, req in enumerate(inf.batch):
+            slot = self._slots[req.slot]
+            slot.request_id = req.request_id
+            slot.claimed = False
+            slot.active = True
+            slot.tokens = [int(tokens_host[row])]
+            slot.remaining = self.max_new_tokens - 1
+            slot.length = prefill_len
+            self._slot_mask[req.slot] = masks_host[row]
+            self._pending_token[req.slot] = int(tokens_host[row])
+            if self._prefix_cache is not None:
+                self.prefix_cache_misses += 1
+                self._cache_insert(req, prefill_len, inf.last_logits[row])
             self._finish_if_done(req.slot)
 
     def _cache_insert(self, req: _Pending, prefill_len: int, logits) -> None:
@@ -805,8 +1019,15 @@ class PagedGenerationServer:
         slot.length = 0
 
     def step(self) -> Dict[int, List[int]]:
-        """Admit pending requests, then one decode tick across all slots."""
-        self.flush()
+        """Admit pending requests, then one decode tick across all slots.
+
+        Under chunked admission, one ``step`` does at most ONE chunk of
+        admission work before the decode tick — a long-prompt arrival
+        delays in-flight decodes by one chunk's compute, not a prefill."""
+        if self.prefill_chunk_tokens:
+            self._admission_work()
+        else:
+            self.flush()
         if any(s.active for s in self._slots):
             for i, slot in enumerate(self._slots):
                 if slot.active:
