@@ -94,6 +94,13 @@ class TrainArgs:
     # axis too — the memory story for --train-backbone at 7B scale
     # (TrainingConfig.fsdp; parallel/sharding.py::fsdp_param_shardings).
     fsdp: bool = False
+    # LoRA fine-tuning (io/lora.py): rank > 0 trains low-rank decoder
+    # adapters + the head over a frozen base (QLoRA with --quantization
+    # int8: quantized frozen 7B base + float adapters on one chip).
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+    # Frozen-base weight quantization for QLoRA ("none" | "int8" | "int4").
+    quantization: str = "none"
 
 
 def main(args: TrainArgs) -> None:
@@ -125,6 +132,9 @@ def main(args: TrainArgs) -> None:
         dtype=args.dtype,
         param_dtype=args.dtype if args.dtype != "bfloat16" else "float32",
         image_token_mode=args.image_token_mode,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+        quantization=args.quantization,
         seed=args.seed,
     )
     policy = FastVLAPolicy(policy_config)

@@ -63,6 +63,14 @@ class FastVLAConfig:
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation memory when training the backbone.
     gradient_checkpointing: bool = False
+    # LoRA fine-tuning (io/lora.py): rank > 0 mounts low-rank adapters on
+    # the decoder projections and trains them alongside the head while the
+    # backbone base stays frozen (QLoRA when quantization != "none": int8/
+    # int4 frozen base + float adapters — 7B fine-tuning on one v5e chip).
+    lora_rank: int = 0
+    # Standard LoRA alpha; pre-folded into A's init std (None -> rank, i.e.
+    # unit scale). See io/lora.py's pre-scaled convention.
+    lora_alpha: Optional[float] = None
     # chunk_size > 1 emits (chunk, action_dim) per forward (action chunking).
     chunk_size: int = 1
     # Cameras per observation; >1 expects (B, ncam, C, H, W) batches and

@@ -57,6 +57,25 @@ class FastVLMWithExpert:
             jnp.zeros((1, cfg.state_dim)),
         )["params"]
 
+        # LoRA adapters on the decoder projections (io/lora.py): trained
+        # with the head while the backbone base stays frozen. QLoRA when
+        # the base is quantized (int8/int4 weights + float adapters).
+        self.lora = None
+        if cfg.lora_rank > 0:
+            if cfg.train_backbone and not cfg.freeze_backbone:
+                raise ValueError(
+                    "lora_rank > 0 with full backbone training is "
+                    "contradictory: LoRA exists to avoid training the base"
+                )
+            from ..io.lora import init_lora
+
+            self.lora = init_lora(
+                self.backbone.params,
+                rank=cfg.lora_rank,
+                rng=jax.random.PRNGKey(cfg.seed + 2),
+                alpha=cfg.lora_alpha,
+            )
+
         self._jit_apply = jax.jit(self.apply_fn, static_argnames=("train",))
 
     # ------------------------------------------------------------------
@@ -64,28 +83,41 @@ class FastVLMWithExpert:
 
     @property
     def params(self) -> Dict:
-        """Full parameter pytree: {"backbone": ..., "head": ...}."""
-        return {"backbone": self.backbone.params, "head": self.head_params}
+        """Full parameter pytree: {"backbone": ..., "head": ...} plus
+        ``"lora"`` when adapters are mounted (``lora_rank > 0``)."""
+        out = {"backbone": self.backbone.params, "head": self.head_params}
+        if self.lora is not None:
+            out["lora"] = self.lora
+        return out
 
     def load_params(self, params: Dict) -> None:
         self.backbone.params = params["backbone"]
         self.head_params = params["head"]
+        if "lora" in params:
+            self.lora = params["lora"]
 
     def trainable_params(self) -> Dict:
         """The sub-tree the optimizer updates.
 
         With ``freeze_backbone`` (and the reference's always-no-grad backbone
-        quirk unless ``train_backbone``), only the head trains.
+        quirk unless ``train_backbone``), only the head trains — plus the
+        LoRA adapters when mounted (the base stays frozen either way).
         """
         if self.config.train_backbone and not self.config.freeze_backbone:
             return self.params
-        return {"head": self.head_params}
+        out = {"head": self.head_params}
+        if self.lora is not None:
+            out["lora"] = self.lora
+        return out
 
     def merge_trainable(self, trainable: Dict) -> Dict:
         full = self.params
         if "backbone" in trainable:
             return trainable
-        return {"backbone": full["backbone"], "head": trainable["head"]}
+        merged = {"backbone": full["backbone"], "head": trainable["head"]}
+        if "lora" in trainable:
+            merged["lora"] = trainable["lora"]
+        return merged
 
     # ------------------------------------------------------------------
     # pure compute
@@ -102,7 +134,8 @@ class FastVLMWithExpert:
     ) -> jnp.ndarray:
         """Pure function: full pytree + arrays -> actions."""
         feats = self.backbone.features_fn(
-            params["backbone"], images, input_ids, attention_mask
+            params["backbone"], images, input_ids, attention_mask,
+            lora=params.get("lora"),
         )
         rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
         return self.head.apply(

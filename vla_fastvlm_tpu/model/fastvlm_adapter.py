@@ -97,7 +97,9 @@ class FastVLMBackboneConfig:
     fused_projections: bool = True
     # Weight-only int8 decoder kernels ("none" | "int8"): params are
     # quantized after load (io/quantize.py), halving decode weight-HBM
-    # traffic. Inference-only — incompatible with train_backbone.
+    # traffic. Incompatible with train_backbone (the base itself cannot
+    # train quantized) but composes with LoRA adapters, whose gradients
+    # flow through the frozen quantized matmuls (QLoRA — io/lora.py).
     quantization: str = "none"
     # KV cache storage ("none" | "int8"): int8 halves persistent cache HBM
     # (2x slots/context per budget); dense serving paths only.
@@ -406,7 +408,8 @@ class FastVLMBackbone:
     # ------------------------------------------------------------------
     # forward
 
-    def _forward_impl(self, params, images, input_ids, attention_mask):
+    def _forward_impl(self, params, images, input_ids, attention_mask,
+                      lora=None):
         cfg = self.config
         mcfg = self.model_config
         if mcfg.num_image_tokens > 0:
@@ -433,22 +436,36 @@ class FastVLMBackbone:
                 )
         else:
             images = None
+        variables = {"params": params}
+        if lora is not None:
+            variables["lora"] = lora
         hidden, seq_mask, text_mask = self.model.apply(
-            {"params": params}, images, input_ids, attention_mask
+            variables, images, input_ids, attention_mask
         )
         if cfg.image_feature_pool == "mean_pool":
             pooled = pool_hidden(hidden, text_mask, "mean_pool")
         else:
             pooled = pool_last_text_token(hidden, text_mask)
-        if not cfg.train_backbone:
+        if not cfg.train_backbone and lora is None:
             # Reference parity: backbone forward is @torch.no_grad()
             # (``fastvlm_adapter.py:501``) regardless of freeze_backbone.
+            # With LoRA mounted the gradient MUST flow through the backbone
+            # to reach the adapters; the base params stay frozen because
+            # the trainer differentiates the trainable sub-tree only
+            # (fastvla/modeling_fastvla.py::loss_fn).
             pooled = jax.lax.stop_gradient(pooled)
         return pooled
 
-    def features_fn(self, params, images, input_ids, attention_mask):
-        """Pure feature extractor for composition into jitted programs."""
-        return self._forward_impl(params, images, input_ids, attention_mask)
+    def features_fn(self, params, images, input_ids, attention_mask,
+                    lora=None):
+        """Pure feature extractor for composition into jitted programs.
+
+        ``lora``: optional ``"lora"`` collection tree (``io/lora.py``) —
+        mounts low-rank adapters on the decoder projections and keeps the
+        feature path differentiable w.r.t. them."""
+        return self._forward_impl(
+            params, images, input_ids, attention_mask, lora=lora
+        )
 
     def forward(
         self,

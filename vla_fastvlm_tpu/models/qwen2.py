@@ -156,6 +156,28 @@ def init_kv_cache(
     return cache
 
 
+def _lora_delta(module: nn.Module, y: jnp.ndarray, x: jnp.ndarray, name: str):
+    """Add projection ``name``'s low-rank adapter delta, if one is mounted.
+
+    Adapters live in a separate Flax collection — pass ``{"params": ...,
+    "lora": lora_tree}`` to ``apply`` (build the tree with
+    ``io/lora.init_lora``; sites mirror the param paths). The delta is
+    ``x @ A @ B`` with no runtime scalar: the standard ``alpha/rank``
+    forward scale is pre-folded into A's init std (``io/lora.py``). The
+    base projection output ``y`` and input ``x`` stay untouched when no
+    adapter is mounted, so inference/serving paths compile identically
+    with LoRA off. No reference counterpart: the reference fine-tunes the
+    head only with a hard-frozen backbone (reference
+    ``fastvlm_adapter.py:501`` ``@torch.no_grad``); LoRA is what makes
+    7B-backbone fine-tuning fit a single chip here.
+    """
+    site = module.variables.get("lora", {}).get(name)
+    if site is None:
+        return y
+    dt = y.dtype
+    return y + (x.astype(dt) @ site["a"].astype(dt)) @ site["b"].astype(dt)
+
+
 class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
     causal: bool = True  # module attribute: stays static under remat/scan
@@ -198,6 +220,9 @@ class Qwen2Attention(nn.Module):
             q = dense_apply(x, p["q_proj"], cfg.dtype, act_quant=aq)
             k = dense_apply(x, p["k_proj"], cfg.dtype, act_quant=aq)
             v = dense_apply(x, p["v_proj"], cfg.dtype, act_quant=aq)
+        q = _lora_delta(self, q, x, "q_proj")
+        k = _lora_delta(self, k, x, "k_proj")
+        v = _lora_delta(self, v, x, "v_proj")
         q = q.reshape(b, t, n, d)
         k = k.reshape(b, t, k_heads, d)
         v = v.reshape(b, t, k_heads, d)
@@ -239,11 +264,13 @@ class Qwen2Attention(nn.Module):
                 new_cache = (k[:, 0], v[:, 0], None, None)
             out = out.reshape(b, t, n * d)
             if quantized:
-                return dense_apply(
+                proj = dense_apply(
                     out, self.variables["params"]["o_proj"], cfg.dtype,
                     act_quant=aq,
-                ), new_cache
-            return dense(cfg.hidden_size, False, "o_proj")(out), new_cache
+                )
+            else:
+                proj = dense(cfg.hidden_size, False, "o_proj")(out)
+            return _lora_delta(self, proj, out, "o_proj"), new_cache
 
         if cache_k is not None:
             # Per-example cursor: vmap the slice update over the batch.
@@ -290,12 +317,12 @@ class Qwen2Attention(nn.Module):
         )
         out = out.reshape(b, t, n * d)
         if quantized:
-            out = dense_apply(
+            proj = dense_apply(
                 out, self.variables["params"]["o_proj"], cfg.dtype, act_quant=aq
             )
         else:
-            out = dense(cfg.hidden_size, False, "o_proj")(out)
-        return out, new_cache
+            proj = dense(cfg.hidden_size, False, "o_proj")(out)
+        return _lora_delta(self, proj, out, "o_proj"), new_cache
 
 
 class Qwen2MLP(nn.Module):
@@ -326,12 +353,16 @@ class Qwen2MLP(nn.Module):
             p = self.variables["params"]
             gate = dense_apply(x, p["gate_proj"], cfg.dtype, act_quant=aq)
             up = dense_apply(x, p["up_proj"], cfg.dtype, act_quant=aq)
+        gate = _lora_delta(self, gate, x, "gate_proj")
+        up = _lora_delta(self, up, x, "up_proj")
         h = nn.silu(gate) * up
         if quantized:
-            return dense_apply(
+            down = dense_apply(
                 h, self.variables["params"]["down_proj"], cfg.dtype, act_quant=aq
             )
-        return dense(cfg.hidden_size, "down_proj")(h)
+        else:
+            down = dense(cfg.hidden_size, "down_proj")(h)
+        return _lora_delta(self, down, h, "down_proj")
 
 
 class RMSNorm(nn.Module):
@@ -493,7 +524,10 @@ class Qwen2Model(nn.Module):
         if cfg.scan_layers:
             scanned = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                # "lora" rides the same per-layer stacking as the params
+                # (adapter A/B leaves carry a leading (L, ...) axis —
+                # io/lora.init_lora builds them to match).
+                variable_axes={"params": 0, "lora": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, 0, 0, 0, 0, nn.broadcast, nn.broadcast),
