@@ -18,7 +18,7 @@ import json
 import sys
 import time
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -75,6 +75,11 @@ class ServeArgs:
     # chunk), bounding how long an arrival stalls in-flight decodes. Prompt
     # buckets must be multiples of the chunk. 0 = whole-prompt admission.
     prefill_chunk_tokens: int = 0
+    # LoRA adapters over the frozen base (io/lora.py): each path is a policy
+    # checkpoint dir trained with --lora-rank (its "lora" tree is loaded).
+    # One path = that adapter on every request; multiple paths = multi-LoRA
+    # (the synthetic stream round-robins requests over base + adapters).
+    lora_dir: Tuple[str, ...] = ()
 
 
 def main(args: ServeArgs) -> None:
@@ -116,6 +121,14 @@ def main(args: ServeArgs) -> None:
         )
     )
     size = backbone.model_config.image_size
+    lora = None
+    num_adapters = 0
+    if args.lora_dir:
+        from vla_fastvlm_tpu.io.lora import load_lora
+
+        adapters = [load_lora(d) for d in args.lora_dir]
+        num_adapters = len(adapters)
+        lora = adapters[0] if num_adapters == 1 else adapters
     mesh = None
     if args.tp > 1:
         from vla_fastvlm_tpu.parallel import make_mesh
@@ -141,6 +154,7 @@ def main(args: ServeArgs) -> None:
             decode_impl=args.decode_impl,
             prefix_cache_size=args.prefix_cache,
             prefill_chunk_tokens=args.prefill_chunk_tokens,
+            lora=lora,
         )
     else:
         server = GenerationServer(
@@ -155,6 +169,7 @@ def main(args: ServeArgs) -> None:
             temperature=args.temperature,
             top_p=args.top_p,
             seed=args.seed,
+            lora=lora,
         )
 
     rng = np.random.default_rng(args.seed)
@@ -189,7 +204,15 @@ def main(args: ServeArgs) -> None:
             and server.has_free_slot()
             and arrivals < args.arrivals_per_tick
         ):
-            server.submit(*make_request())
+            if num_adapters > 1:
+                # Round-robin tenants over base + adapters (multi-LoRA).
+                cycle = submitted % (num_adapters + 1)
+                server.submit(
+                    *make_request(),
+                    lora_index=None if cycle == 0 else cycle - 1,
+                )
+            else:
+                server.submit(*make_request())
             submitted += 1
             arrivals += 1
         t0 = time.perf_counter()
@@ -211,6 +234,8 @@ def main(args: ServeArgs) -> None:
     if args.prefix_cache > 0 and args.paged:
         summary["prefix_cache_hits"] = server.prefix_cache_hits
         summary["prefix_cache_misses"] = server.prefix_cache_misses
+    if num_adapters:
+        summary["lora_adapters"] = num_adapters
     print(json.dumps(summary))
 
 

@@ -9,6 +9,13 @@ from .checkpoint import (
     save_train_state,
     unflatten_params,
 )
+from .lora import (
+    init_lora,
+    load_lora,
+    lora_with_ids,
+    merge_lora,
+    stack_loras,
+)
 from .model_loader import (
     infer_size_from_tower_name,
     load_fastvlm_params,
@@ -33,12 +40,17 @@ __all__ = [
     "flatten_params",
     "fold_conv_bn",
     "infer_size_from_tower_name",
+    "init_lora",
     "load_fastvlm_params",
+    "load_lora",
     "load_policy_from_checkpoint",
     "load_policy_state",
     "load_tokenizer",
     "load_train_state",
+    "lora_with_ids",
+    "merge_lora",
     "resolve_fastvlm_config",
+    "stack_loras",
     "save_policy_checkpoint",
     "save_train_state",
     "torch_conv_to_flax",

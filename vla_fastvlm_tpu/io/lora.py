@@ -154,3 +154,89 @@ def lora_num_params(lora: Dict) -> int:
     return int(
         sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(lora))
     )
+
+
+def load_lora(checkpoint_dir) -> Dict:
+    """Extract the trained ``"lora"`` adapter tree from a policy checkpoint.
+
+    Training with ``lora_rank > 0`` saves the adapters inside the policy
+    checkpoint (``FastVLMWithExpert.params`` carries the ``"lora"`` subtree
+    through ``io/checkpoint.save_policy_checkpoint``). This pulls just the
+    adapter tree back out — megabytes, not the base — for serving
+    (``GenerationServer(lora=...)`` / ``scripts/serve.py --lora-dir``) or
+    ``merge_lora``."""
+    from .checkpoint import load_policy_state
+
+    _, params = load_policy_state(checkpoint_dir)
+    if "lora" not in params:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} has no 'lora' adapters (was it "
+            "trained with lora_rank > 0?)"
+        )
+    return params["lora"]
+
+
+def stack_loras(adapters, include_base: bool = True) -> Dict:
+    """Stack adapter trees for multi-LoRA serving (one base, many tenants).
+
+    ``[lora, ...] -> stacked`` where every site's ``a``/``b`` gains an
+    adapter axis placed *after* any scan (layer) axis — so ``nn.scan``'s
+    ``variable_axes={"lora": 0}`` still slices layers and each layer sees
+    ``(N, fan_in, r)``. ``include_base=True`` prepends an all-zeros adapter
+    at index 0 (exactly no delta), so servers can route un-adapted requests
+    through the same compiled program. Pair with ``lora_with_ids`` to select
+    an adapter per batch row. No reference counterpart (the reference has no
+    adapters at all); this is the vLLM-style multi-adapter serving shape.
+    """
+    adapters = list(adapters)
+    if not adapters:
+        raise ValueError("stack_loras needs at least one adapter")
+    treedef = jax.tree_util.tree_structure(adapters[0])
+    for tree in adapters[1:]:
+        if jax.tree_util.tree_structure(tree) != treedef:
+            raise ValueError(
+                "all adapters must share one structure (same rank/targets "
+                "on the same base model)"
+            )
+
+    def stack(*leaves):
+        axis = leaves[0].ndim - 2  # after the scan axis, before (fan, r)
+        if include_base:
+            leaves = (jnp.zeros_like(leaves[0]),) + tuple(leaves)
+        return jnp.stack(leaves, axis=axis)
+
+    return jax.tree_util.tree_map(stack, *adapters)
+
+
+def lora_with_ids(stacked: Dict, ids) -> Dict:
+    """Mount per-row adapter indices onto a ``stack_loras`` tree.
+
+    Every site gains an ``"ids"`` leaf that ``models/qwen2._lora_delta``
+    gathers its row's adapter by: ``y[b] += x[b] @ A[ids[b]] @ B[ids[b]]``.
+    ``ids``: (B,) int32, indexing the stacked adapter axis (0 = the zeros
+    base adapter when stacked with ``include_base=True``). Scanned sites
+    (``a.ndim == 4``: (L, N, fan_in, r)) carry ids tiled to (L, B) so the
+    scan's ``variable_axes={"lora": 0}`` hands each layer (B,) — the tile is
+    bytes, not a copy of the adapters. Rebuilding this tree per serving tick
+    is host-dict work only; the stacked a/b device buffers are shared.
+    """
+    ids = jnp.asarray(ids, jnp.int32)
+    if ids.ndim != 1:
+        raise ValueError(f"ids must be (B,), got shape {ids.shape}")
+
+    def walk(node):
+        out = {}
+        for key, child in node.items():
+            if isinstance(child, dict) and "a" in child and "b" in child:
+                a = child["a"]
+                site_ids = (
+                    jnp.broadcast_to(ids, (a.shape[0], ids.shape[0]))
+                    if a.ndim == 4
+                    else ids
+                )
+                out[key] = {"a": child["a"], "b": child["b"], "ids": site_ids}
+            else:
+                out[key] = walk(child)
+        return out
+
+    return walk(stacked)

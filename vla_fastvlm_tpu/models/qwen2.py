@@ -175,6 +175,17 @@ def _lora_delta(module: nn.Module, y: jnp.ndarray, x: jnp.ndarray, name: str):
     if site is None:
         return y
     dt = y.dtype
+    if "ids" in site:
+        # Multi-LoRA (io/lora.stack_loras + lora_with_ids): a/b carry a
+        # leading adapter axis and ``ids`` names each batch row's adapter
+        # (0 = the zeros base adapter). Gather rows first — the gathered
+        # (B, fan, r) copies are transient and rank-small; the stacked
+        # tree itself is never upcast.
+        ids = site["ids"]
+        a = jnp.take(site["a"], ids, axis=0).astype(dt)  # (B, fan_in, r)
+        b_sel = jnp.take(site["b"], ids, axis=0).astype(dt)  # (B, r, out)
+        h = jnp.einsum("b...i,bir->b...r", x.astype(dt), a)
+        return y + jnp.einsum("b...r,bro->b...o", h, b_sel)
     return y + (x.astype(dt) @ site["a"].astype(dt)) @ site["b"].astype(dt)
 
 

@@ -42,6 +42,7 @@ class _Slot:
     active: bool = False
     tokens: List[int] = dataclasses.field(default_factory=list)
     remaining: int = 0
+    lora_index: int = 0  # internal stacked-adapter index (0 = base)
 
 
 @dataclasses.dataclass
@@ -51,6 +52,53 @@ class _Pending:
     attention_mask: np.ndarray  # (1, bucket)
     images: Optional[np.ndarray]  # (1, 3, S, S) | None
     bucket: int = 0  # compiled prompt width this request was padded to
+    lora_index: int = 0  # internal stacked-adapter index (0 = base)
+
+
+def normalize_lora(lora):
+    """Server ``lora=`` argument -> ``(tree, multi, num_adapters)``.
+
+    ``None`` (no adapters), a single adapter tree (``io/lora.init_lora`` —
+    applied to every request), or a sequence of adapter trees (multi-LoRA:
+    stacked with a zeros base adapter at internal index 0; requests pick an
+    adapter — or the base — per ``submit``)."""
+    if lora is None:
+        return None, False, 0
+    if isinstance(lora, (list, tuple)):
+        from ..io.lora import stack_loras
+
+        return stack_loras(lora, include_base=True), True, len(lora)
+    return lora, False, 1
+
+
+def lora_call_arg(lora, multi: bool, ids):
+    """Per-program adapter argument: None / the single tree / the stacked
+    tree with this call's per-row adapter indices mounted (multi-LoRA)."""
+    if lora is None or not multi:
+        return lora
+    from ..io.lora import lora_with_ids
+
+    return lora_with_ids(lora, jnp.asarray(ids, jnp.int32))
+
+
+def resolve_lora_index(multi: bool, num_adapters: int, lora_index) -> int:
+    """User ``submit(lora_index=...)`` -> internal stacked index.
+
+    ``None`` routes to the zeros base adapter (index 0); user adapter ``i``
+    maps to stacked index ``i + 1`` (``stack_loras(include_base=True)``)."""
+    if lora_index is None:
+        return 0
+    if not multi:
+        raise ValueError(
+            "lora_index requires the server to be built with a LIST of "
+            "adapters (multi-LoRA); a single adapter applies to all requests"
+        )
+    idx = int(lora_index)
+    if not 0 <= idx < num_adapters:
+        raise ValueError(
+            f"lora_index {idx} out of range for {num_adapters} adapters"
+        )
+    return idx + 1
 
 
 def normalize_buckets(prompt_len) -> tuple:
@@ -106,6 +154,7 @@ class GenerationServer:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        lora=None,
     ) -> None:
         """``mesh``: optional TP mesh — parameters and the KV cache (kv heads
         over ``model``) are placed on it and GSPMD shards every program; use
@@ -116,7 +165,15 @@ class GenerationServer:
         widths (sequence). Requests may be submitted at any width <= the
         largest bucket; they pad to the smallest covering bucket and
         admission batches per bucket (one compiled prefill program each —
-        short prompts stop paying the full-width prefill)."""
+        short prompts stop paying the full-width prefill).
+
+        ``lora``: optional adapters (``io/lora.py``) served over the frozen
+        (optionally quantized) base — one tree applies to every request;
+        a LIST of trees enables multi-LoRA (``submit(lora_index=i)`` routes
+        each request through its adapter in the same batched programs;
+        ``None`` rows take the zeros base adapter). Adapters are replicated
+        on the mesh (rank-r deltas are megabytes; GSPMD re-partitions them
+        against the TP-sharded projections)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -124,6 +181,13 @@ class GenerationServer:
 
             params = shard_params(mesh, params)
         self.params = params
+        self._lora, self._lora_multi, self._num_adapters = normalize_lora(lora)
+        if self._lora is not None and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._lora = jax.device_put(
+                self._lora, NamedSharding(mesh, PartitionSpec())
+            )
         self.num_slots = num_slots
         self.prompt_buckets = normalize_buckets(prompt_len)
         self.prompt_len = self.prompt_buckets[-1]
@@ -160,10 +224,15 @@ class GenerationServer:
 
         temp, top_p_ = self.temperature, self.top_p
 
-        def prefill_batched(params, images, ids, mask, key):
+        def _variables(params, lora):
+            return {"params": params} if lora is None else {
+                "params": params, "lora": lora
+            }
+
+        def prefill_batched(params, images, ids, mask, key, lora):
             cache_p = init_kv_cache(cfg.text, bp, self._cache_len)
             last_logits, _, cache_p, _, _ = model.apply(
-                {"params": params}, images, ids, mask, cache_p,
+                _variables(params, lora), images, ids, mask, cache_p,
                 method=FastVLM.prefill,
             )
             return sample_tokens(last_logits, key, temp, top_p_), cache_p
@@ -194,9 +263,9 @@ class GenerationServer:
                 )
             return cache
 
-        def decode(params, tokens, cache, key):
+        def decode(params, tokens, cache, key, lora):
             logits, cache = model.apply(
-                {"params": params}, tokens[:, None], cache,
+                _variables(params, lora), tokens[:, None], cache,
                 method=FastVLM.decode_step,
             )
             return sample_tokens(logits, key, temp, top_p_), cache
@@ -204,6 +273,9 @@ class GenerationServer:
         self._prefill = jax.jit(prefill_batched)
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode = jax.jit(decode, donate_argnums=(2,))
+
+    def _lora_arg(self, ids: Optional[np.ndarray]):
+        return lora_call_arg(self._lora, self._lora_multi, ids)
 
     # ------------------------------------------------------------------
 
@@ -227,12 +299,17 @@ class GenerationServer:
         input_ids: np.ndarray,  # (T,) or (1, T), T <= the largest bucket
         attention_mask: np.ndarray,
         images: Optional[np.ndarray] = None,  # (1, 3, S, S) when multimodal
+        lora_index: Optional[int] = None,
     ) -> int:
         """Queue a request for admission; returns a request id. The request
         pads to the smallest covering prompt bucket; the prefill itself runs
-        batched per bucket at the next ``step``/``flush``."""
+        batched per bucket at the next ``step``/``flush``. ``lora_index``
+        picks the request's adapter on a multi-LoRA server (None = base)."""
         if self._free_slot_count() <= 0:
             raise RuntimeError("no free generation slots")
+        lidx = resolve_lora_index(
+            self._lora_multi, self._num_adapters, lora_index
+        )
         self._check_modality(images is not None)
         ids = np.atleast_2d(np.asarray(input_ids, np.int32))
         mask = np.atleast_2d(np.asarray(attention_mask, np.int32))
@@ -240,7 +317,7 @@ class GenerationServer:
         ids, mask = _pad_to(ids, mask, bucket)
         rid = self._next_rid
         self._next_rid += 1
-        self._pending.append(_Pending(rid, ids, mask, images, bucket))
+        self._pending.append(_Pending(rid, ids, mask, images, bucket, lidx))
         return rid
 
     def _check_modality(self, is_multimodal: bool) -> None:
@@ -283,6 +360,7 @@ class GenerationServer:
             img0 = np.asarray(batch[0].images)
             images = np.zeros((bp,) + img0.shape[1:], img0.dtype)
         slots = np.full(bp, self.num_slots, np.int32)  # default: trash slot
+        row_lora = np.zeros(bp, np.int32)  # dummy rows: base adapter
         free = [i for i, s in enumerate(self._slots) if not s.active]
         for row, req in enumerate(batch):
             ids[row] = req.input_ids[0]
@@ -291,6 +369,7 @@ class GenerationServer:
             if images is not None:
                 images[row] = req.images[0]
             slots[row] = free[row]
+            row_lora[row] = req.lora_index
 
         first_tokens, cache_p = self._prefill(
             self.params,
@@ -298,6 +377,7 @@ class GenerationServer:
             jnp.asarray(ids),
             jnp.asarray(mask),
             self._next_key(),
+            self._lora_arg(row_lora),
         )
         self.cache = self._insert(self.cache, cache_p, jnp.asarray(slots))
         first_host = np.asarray(first_tokens)
@@ -309,6 +389,7 @@ class GenerationServer:
             slot.active = True
             slot.tokens = [int(first_host[row])]
             slot.remaining = self.max_new_tokens - 1
+            slot.lora_index = req.lora_index
             self._pending_token[slot_idx] = int(first_host[row])
             self._finish_if_done(slot_idx)
 
@@ -332,8 +413,13 @@ class GenerationServer:
         self.flush()
         if any(s.active for s in self._slots):
             tokens = jnp.asarray(self._pending_token)
+            slot_lora = np.zeros(self.num_slots + 1, np.int32)
+            for i, s in enumerate(self._slots):
+                if s.active:
+                    slot_lora[i] = s.lora_index
             next_tokens, self.cache = self._decode(
-                self.params, tokens, self.cache, self._next_key()
+                self.params, tokens, self.cache, self._next_key(),
+                self._lora_arg(slot_lora),
             )
             next_host = np.asarray(next_tokens)
 

@@ -48,16 +48,23 @@ def generate(
     top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
     return_last_logits: bool = False,
+    lora=None,
 ) -> jnp.ndarray:
     """Greedy (or temperature) decoding. Returns (B, max_new_tokens) ids,
     padded with ``eos_token_id`` after each sequence finishes.
     ``return_last_logits=True`` additionally returns the final decode
-    step's (B, V) logits (numeric-drift probe for quantized caches)."""
+    step's (B, V) logits (numeric-drift probe for quantized caches).
+    ``lora``: optional adapter collection (``io/lora.py``) — a single
+    adapter tree, or a ``stack_loras`` + ``lora_with_ids`` tree selecting
+    one adapter per batch row (multi-LoRA)."""
     b, t = input_ids.shape
     cache = build_cache(model.cfg, b, t, max_new_tokens)
+    variables = {"params": params}
+    if lora is not None:
+        variables["lora"] = lora
 
     last_logits, _, cache, _, _ = model.apply(
-        {"params": params},
+        variables,
         images,
         input_ids,
         attention_mask,
@@ -80,7 +87,7 @@ def generate(
     def step(carry, key):
         token, done, cache, _ = carry
         logits, cache = model.apply(
-            {"params": params},
+            variables,
             token[:, None],
             cache,
             method=FastVLM.decode_step,

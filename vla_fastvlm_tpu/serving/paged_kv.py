@@ -46,7 +46,14 @@ import numpy as np
 
 from ..models.fastvlm import FastVLM
 from ..models.qwen2 import Qwen2Config
-from .continuous_batching import _pad_to, normalize_buckets, pick_bucket
+from .continuous_batching import (
+    _pad_to,
+    lora_call_arg,
+    normalize_buckets,
+    normalize_lora,
+    pick_bucket,
+    resolve_lora_index,
+)
 
 
 @dataclasses.dataclass
@@ -59,6 +66,7 @@ class _Slot:
     tokens: List[int] = dataclasses.field(default_factory=list)
     remaining: int = 0
     length: int = 0  # valid tokens in the logical window
+    lora_index: int = 0  # internal stacked-adapter index (0 = base)
 
 
 @dataclasses.dataclass
@@ -70,6 +78,7 @@ class _Pending:
     images: Optional[np.ndarray]  # (1, 3, S, S) | None
     bucket: int = 0  # compiled prompt width this request was padded to
     key: Optional[bytes] = None  # prefix-cache key (None = caching off)
+    lora_index: int = 0  # internal stacked-adapter index (0 = base)
 
 
 @dataclasses.dataclass
@@ -91,6 +100,7 @@ class _Inflight:
     last_logits: object  # (bp, V) device, running last-real-position logits
     images_done: bool  # image chunk dispatched (or not needed)
     chunk_idx: int = 0  # next text chunk
+    row_lora: Optional[np.ndarray] = None  # (bp,) adapter ids (multi-LoRA)
 
 
 class PagedKVPool:
@@ -269,6 +279,7 @@ class PagedGenerationServer:
         decode_impl: str = "auto",
         prefix_cache_size: int = 0,
         prefill_chunk_tokens: int = 0,
+        lora=None,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -308,7 +319,13 @@ class PagedGenerationServer:
         model's cached-decode branch gives exact prefill semantics per
         chunk (slot causality + true-count RoPE, ``models/fastvlm.py::
         prefill_text_chunk``). Every prompt bucket must be a multiple of
-        the chunk size. 0 (default) admits whole prompts per program."""
+        the chunk size. 0 (default) admits whole prompts per program.
+
+        ``lora``: optional adapters (``io/lora.py``) served over the frozen
+        (optionally quantized) base — one tree applies to every request; a
+        LIST of trees enables multi-LoRA (``submit(lora_index=i)``; None
+        rows take the zeros base adapter). The prefix-cache key includes
+        the adapter index, so tenants never share cached prompt pages."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -316,6 +333,14 @@ class PagedGenerationServer:
 
             params = shard_params(mesh, params)
         self.params = params
+        self._lora, self._lora_multi, self._num_adapters = normalize_lora(lora)
+        if self._lora is not None and mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            self._lora = jax.device_put(
+                self._lora, NamedSharding(mesh, _P())
+            )
         self.num_slots = num_slots
         self.prompt_buckets = normalize_buckets(prompt_len)
         self.prompt_len = self.prompt_buckets[-1]
@@ -428,7 +453,12 @@ class PagedGenerationServer:
             decode_impl = "gathered" if mesh is not None else "kernel"
         self.decode_impl = decode_impl
 
-        def prefill_batched(params, images, ids, mask, key):
+        def _variables(params, lora):
+            return {"params": params} if lora is None else {
+                "params": params, "lora": lora
+            }
+
+        def prefill_batched(params, images, ids, mask, key, lora):
             """Admission-batch prefill -> ((bp,) tokens, cache-rows dict).
 
             One compiled program prefills ``bp`` requests at a time (short
@@ -445,7 +475,7 @@ class PagedGenerationServer:
 
             cache = init_kv_cache(cfg.text, bp, self._max_len)
             last_logits, _, cache, _, _ = model.apply(
-                {"params": params}, images, ids, mask, cache,
+                _variables(params, lora), images, ids, mask, cache,
                 method=FastVLM.prefill,
             )
             tokens = sample_tokens(last_logits, key, temp, top_p_)
@@ -488,7 +518,9 @@ class PagedGenerationServer:
                 )
             return out
 
-        def decode_tick(params, pools, tables, masks, lengths, tokens, key):
+        def decode_tick(
+            params, pools, tables, masks, lengths, tokens, key, lora
+        ):
             """One decode step across all slots against gathered windows.
 
             tables: (B, pages_per_slot) int32; masks: (B, max_len) valid-slot
@@ -519,7 +551,7 @@ class PagedGenerationServer:
                 cache["k_scale"] = gather_window(pools["k_scale"])
                 cache["v_scale"] = gather_window(pools["v_scale"])
             logits, new_cache = model.apply(
-                {"params": params}, tokens[:, None], cache,
+                _variables(params, lora), tokens[:, None], cache,
                 method=FastVLM.decode_step,
             )
             next_tokens = sample_tokens(logits, key, temp, top_p_)
@@ -558,7 +590,9 @@ class PagedGenerationServer:
                 )
             return next_tokens, out
 
-        def decode_tick_kernel(params, pools, tables, masks, lengths, tokens, key):
+        def decode_tick_kernel(
+            params, pools, tables, masks, lengths, tokens, key, lora
+        ):
             """One decode step via the paged-attention path: the pool is
             read in place (Pallas kernel on TPU, matched XLA fallback
             elsewhere — ``ops/attention.paged_attention``); the decoder
@@ -576,7 +610,7 @@ class PagedGenerationServer:
                 cache["pool_k_scale"] = pools["k_scale"]
                 cache["pool_v_scale"] = pools["v_scale"]
             logits, rows = model.apply(
-                {"params": params}, tokens[:, None], cache,
+                _variables(params, lora), tokens[:, None], cache,
                 method=FastVLM.decode_step_paged,
             )
             next_tokens = sample_tokens(logits, key, temp, top_p_)
@@ -620,15 +654,15 @@ class PagedGenerationServer:
 
         if self.prefill_chunk_tokens:
 
-            def image_chunk(params, images, cache):
+            def image_chunk(params, images, cache, lora):
                 return model.apply(
-                    {"params": params}, images, cache,
+                    _variables(params, lora), images, cache,
                     method=FastVLM.prefill_image_chunk,
                 )
 
-            def text_chunk(params, ids, mask, cache, last):
+            def text_chunk(params, ids, mask, cache, last, lora):
                 logits, new_cache = model.apply(
-                    {"params": params}, ids, mask, cache,
+                    _variables(params, lora), ids, mask, cache,
                     method=FastVLM.prefill_text_chunk,
                 )
                 # Running last-real-position logits: a row whose prompt has
@@ -668,15 +702,24 @@ class PagedGenerationServer:
         inflight = len(self._inflight.batch) if self._inflight else 0
         return sum(s.active for s in self._slots) + len(self._pending) + inflight
 
+    def _lora_arg(self, ids: Optional[np.ndarray]):
+        return lora_call_arg(self._lora, self._lora_multi, ids)
+
     def submit(
         self,
         input_ids: np.ndarray,
         attention_mask: np.ndarray,
         images: Optional[np.ndarray] = None,
+        lora_index: Optional[int] = None,
     ) -> int:
         """Queue a request: a slot and its worst-case pages are claimed now
         (admission control — never wedge); the prefill itself runs batched
-        ``prefill_batch`` at a time at the next ``step``/``flush``."""
+        ``prefill_batch`` at a time at the next ``step``/``flush``.
+        ``lora_index`` picks the request's adapter on a multi-LoRA server
+        (None = base); it keys the prefix cache too."""
+        lidx = resolve_lora_index(
+            self._lora_multi, self._num_adapters, lora_index
+        )
         is_mm = images is not None
         if self._multimodal is None:
             self._multimodal = is_mm
@@ -708,6 +751,9 @@ class PagedGenerationServer:
 
             h = hashlib.sha1()
             h.update(np.int64(bucket).tobytes())
+            # Adapter index keys the cache: tenants with identical prompts
+            # have different prefill K/V, so hits must never cross adapters.
+            h.update(np.int64(lidx).tobytes())
             h.update(ids.tobytes())
             h.update(mask.tobytes())
             if images is not None:
@@ -715,7 +761,9 @@ class PagedGenerationServer:
                 h.update(np.asarray(img.shape, np.int64).tobytes())
                 h.update(img.tobytes())
             key = h.digest()
-        self._pending.append(_Pending(rid, slot_idx, ids, mask, images, bucket, key))
+        self._pending.append(
+            _Pending(rid, slot_idx, ids, mask, images, bucket, key, lidx)
+        )
         return rid
 
     def flush(self) -> None:
@@ -769,6 +817,7 @@ class PagedGenerationServer:
             img0 = np.asarray(batch[0].images)
             images = np.zeros((bp,) + img0.shape[1:], img0.dtype)
         pages = np.zeros((bp, self.pool.pages_per_slot), np.int32)
+        row_lora = np.zeros(bp, np.int32)  # dummy rows: base adapter
         for row, req in enumerate(batch):
             ids[row] = req.input_ids[0]
             mask[row] = req.attention_mask[0]
@@ -777,6 +826,7 @@ class PagedGenerationServer:
                 images[row] = req.images[0]
             self.pool.allocate(req.slot, prefill_len + 1)
             pages[row] = self.pool.page_table[req.slot]
+            row_lora[row] = req.lora_index
 
         tokens, last_logits, rows = self._prefill(
             self.params,
@@ -784,6 +834,7 @@ class PagedGenerationServer:
             jnp.asarray(ids),
             jnp.asarray(mask),
             self._next_key(),
+            self._lora_arg(row_lora),
         )
         self.pool.set_pools(
             self._scatter(self.pool.pools(), rows, jnp.asarray(pages))
@@ -799,6 +850,7 @@ class PagedGenerationServer:
             slot.tokens = [int(tokens_host[row])]
             slot.remaining = self.max_new_tokens - 1
             slot.length = prefill_len
+            slot.lora_index = req.lora_index
             self._slot_mask[req.slot] = masks_host[row]
             self._pending_token[req.slot] = int(tokens_host[row])
             if self._prefix_cache is not None:
@@ -839,7 +891,8 @@ class PagedGenerationServer:
             self._inflight = inf
         if not inf.images_done:
             inf.cache = self._image_chunk(
-                self.params, jnp.asarray(inf.images), inf.cache
+                self.params, jnp.asarray(inf.images), inf.cache,
+                self._lora_arg(inf.row_lora),
             )
             inf.images_done = True
             return
@@ -851,6 +904,7 @@ class PagedGenerationServer:
             jnp.asarray(inf.mask[:, lo : lo + c]),
             inf.cache,
             inf.last_logits,
+            self._lora_arg(inf.row_lora),
         )
         inf.chunk_idx += 1
         if inf.chunk_idx * c >= inf.bucket:
@@ -876,12 +930,14 @@ class PagedGenerationServer:
         if batch[0].images is not None:
             img0 = np.asarray(batch[0].images)
             images = np.zeros((bp,) + img0.shape[1:], img0.dtype)
+        row_lora = np.zeros(bp, np.int32)
         for row, req in enumerate(batch):
             ids[row] = req.input_ids[0]
             mask[row] = req.attention_mask[0]
             if images is not None:
                 images[row] = req.images[0]
             self.pool.allocate(req.slot, prefill_len + 1)
+            row_lora[row] = req.lora_index
         cache = init_kv_cache(cfg.text, bp, self._max_len)
         last = jnp.zeros((bp, cfg.text.vocab_size), cfg.text.dtype)
         return _Inflight(
@@ -893,6 +949,7 @@ class PagedGenerationServer:
             cache=cache,
             last_logits=last,
             images_done=images is None or cfg.num_image_tokens == 0,
+            row_lora=row_lora,
         )
 
     def _finalize_inflight(self, inf: _Inflight) -> None:
@@ -928,6 +985,7 @@ class PagedGenerationServer:
             slot.tokens = [int(tokens_host[row])]
             slot.remaining = self.max_new_tokens - 1
             slot.length = prefill_len
+            slot.lora_index = req.lora_index
             self._slot_mask[req.slot] = masks_host[row]
             self._pending_token[req.slot] = int(tokens_host[row])
             if self._prefix_cache is not None:
@@ -1001,6 +1059,7 @@ class PagedGenerationServer:
         slot.tokens = [token]
         slot.remaining = self.max_new_tokens - 1
         slot.length = prefill_len
+        slot.lora_index = req.lora_index
         self._slot_mask[slot_idx] = entry["mask"]
         self._pending_token[slot_idx] = token
         self._finish_if_done(slot_idx)
@@ -1045,6 +1104,10 @@ class PagedGenerationServer:
                 if not slot.active:
                     masks[i] = False
                     masks[i, 0] = True
+            slot_lora = np.array(
+                [s.lora_index if s.active else 0 for s in self._slots],
+                np.int32,
+            )
             next_tokens, new_pools = self._decode(
                 self.params,
                 self.pool.pools(),
@@ -1053,6 +1116,7 @@ class PagedGenerationServer:
                 jnp.asarray(lengths),
                 jnp.asarray(self._pending_token),
                 self._next_key(),
+                self._lora_arg(slot_lora),
             )
             self.pool.set_pools(new_pools)
             next_host = np.asarray(next_tokens)

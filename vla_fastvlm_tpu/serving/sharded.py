@@ -133,10 +133,14 @@ def _generate_with_cache(
     temperature: float,
     top_p: float,
     rng,
+    lora=None,
 ):
     """Prefill + scanned decode against a caller-provided (placed) cache."""
+    variables = {"params": params}
+    if lora is not None:
+        variables["lora"] = lora
     last_logits, _, cache, _, _ = model.apply(
-        {"params": params}, images, input_ids, attention_mask, cache,
+        variables, images, input_ids, attention_mask, cache,
         method=FastVLM.prefill,
     )
 
@@ -152,7 +156,7 @@ def _generate_with_cache(
     def step(carry, key):
         token, done, cache = carry
         logits, cache = model.apply(
-            {"params": params}, token[:, None], cache,
+            variables, token[:, None], cache,
             method=FastVLM.decode_step,
         )
         next_token = sample(logits, key).astype(jnp.int32)
@@ -179,16 +183,22 @@ def sharded_generate(
     top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
     params_are_placed: bool = False,
+    lora=None,
 ) -> jnp.ndarray:
     """Mesh-sharded greedy/temperature generation.
 
     Parameters are TP-sharded, the batch DP-split, and the KV cache sharded
     (L, B@data, S, K@model, D) so decode-step cache updates are chip-local.
     Pass ``params_are_placed=True`` when ``params`` were already placed with
-    ``shard_params`` (e.g. reused across calls).
+    ``shard_params`` (e.g. reused across calls). ``lora``: optional adapter
+    tree (``io/lora.py``; single or ``lora_with_ids``-mounted multi) —
+    replicated on the mesh; GSPMD re-partitions the rank-r deltas against
+    the TP-sharded projections.
     """
     if not params_are_placed:
         params = shard_params(mesh, params)
+    if lora is not None:
+        lora = jax.device_put(lora, NamedSharding(mesh, P()))
     b, t = input_ids.shape
     cache = shard_cache(
         mesh, build_cache(model.cfg, b, t, max_new_tokens)
@@ -213,6 +223,7 @@ def sharded_generate(
         temperature=temperature,
         top_p=top_p,
         rng=rng if rng is not None else jax.random.PRNGKey(0),
+        lora=lora,
     )
 
 
