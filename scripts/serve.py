@@ -80,6 +80,14 @@ class ServeArgs:
     # One path = that adapter on every request; multiple paths = multi-LoRA
     # (the synthetic stream round-robins requests over base + adapters).
     lora_dir: Tuple[str, ...] = ()
+    # Speculative decoding (dense server only): a small same-vocab draft
+    # model proposes --spec-k tokens per tick, one target forward verifies —
+    # greedy-exact, 1..k+1 tokens emitted per slot per tick
+    # (serving/speculative.py). E.g. --model-id fastvlm-7b --quantization
+    # int8 --draft-model-id fastvlm-0.5b. Incompatible with --paged, --tp,
+    # --lora-dir, and temperature > 0.
+    draft_model_id: Optional[str] = None
+    spec_k: int = 4
 
 
 def main(args: ServeArgs) -> None:
@@ -134,7 +142,46 @@ def main(args: ServeArgs) -> None:
         from vla_fastvlm_tpu.parallel import make_mesh
 
         mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
-    if args.paged:
+    if args.draft_model_id:
+        incompatible = []
+        if args.paged:
+            incompatible.append("--paged")
+        if args.tp > 1:
+            incompatible.append("--tp > 1")
+        if args.lora_dir:
+            incompatible.append("--lora-dir")
+        if args.temperature > 0:
+            incompatible.append("temperature > 0 (greedy-exact contract)")
+        if incompatible:
+            raise SystemExit(
+                "--draft-model-id (speculative serving) is incompatible "
+                "with: " + ", ".join(incompatible)
+            )
+        from vla_fastvlm_tpu.serving import SpeculativeGenerationServer
+
+        draft_backbone = FastVLMBackbone(
+            FastVLMBackboneConfig(
+                model_id=args.draft_model_id,
+                bootstrap_model_id=args.draft_model_id,
+                force_image_size=size,  # draft sees the same frames
+                dtype=args.dtype,
+                param_dtype=args.dtype,
+                seed=args.seed + 1,
+            )
+        )
+        server = SpeculativeGenerationServer(
+            backbone.model,
+            backbone.params,
+            draft_backbone.model,
+            draft_backbone.params,
+            k=args.spec_k,
+            num_slots=args.num_slots,
+            prompt_len=args.prompt_len,
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=-1,  # synthetic stream: run to max length
+            prefill_batch=args.prefill_batch,
+        )
+    elif args.paged:
         from vla_fastvlm_tpu.serving import PagedGenerationServer
 
         server = PagedGenerationServer(
@@ -236,6 +283,11 @@ def main(args: ServeArgs) -> None:
         summary["prefix_cache_misses"] = server.prefix_cache_misses
     if num_adapters:
         summary["lora_adapters"] = num_adapters
+    if args.draft_model_id:
+        summary["spec_k"] = args.spec_k
+        # decode amortization: tokens emitted per speculative tick (plain
+        # greedy serving is 1.0 by construction)
+        summary["tokens_per_tick"] = round(total_tokens / len(tick_times), 2)
     print(json.dumps(summary))
 
 

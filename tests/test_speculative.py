@@ -189,3 +189,165 @@ class TestSpeculativeExactness:
         )
         got = gen.generate(imgs, ids, mask, max_new_tokens=new)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestSpeculativeServer:
+    """SpeculativeGenerationServer: continuous batching whose decode tick
+    is a draft-verify round. The invariant is the same as the plain
+    server's — every request's output must equal the target model's own
+    offline greedy ``generate`` — plus the amortization mechanics: fewer
+    ticks than tokens when the draft agrees."""
+
+    PROMPT_LEN = 8
+    MAX_NEW = 6
+    EOS = 2
+
+    def _server(self, target, tparams, draft, dparams, k=2, slots=3, bp=2):
+        from vla_fastvlm_tpu.serving import SpeculativeGenerationServer
+
+        return SpeculativeGenerationServer(
+            target, tparams, draft, dparams, k=k,
+            num_slots=slots, prompt_len=self.PROMPT_LEN,
+            max_new_tokens=self.MAX_NEW, eos_token_id=self.EOS,
+            prefill_batch=bp,
+        )
+
+    def _requests(self, cfg, n, seed=0):
+        rng = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            length = int(rng.integers(3, self.PROMPT_LEN + 1))
+            ids = np.zeros((1, self.PROMPT_LEN), np.int32)
+            mask = np.zeros((1, self.PROMPT_LEN), np.int32)
+            ids[0, :length] = rng.integers(3, 200, length)
+            mask[0, :length] = 1
+            imgs = rng.random(
+                (1, 3, cfg.image_size, cfg.image_size), np.float32
+            )
+            out.append((imgs, ids, mask))
+        return out
+
+    def _offline(self, target, tparams, imgs, ids, mask):
+        full = np.asarray(
+            generate(
+                target, tparams, jnp.asarray(imgs), jnp.asarray(ids),
+                jnp.asarray(mask), max_new_tokens=self.MAX_NEW,
+                eos_token_id=self.EOS, temperature=0.0,
+            )
+        )[0]
+        # offline pads with eos after finishing; trim to the server's
+        # emitted length (tokens up to and including the first eos)
+        if self.EOS in full:
+            return full[: int(np.argmax(full == self.EOS)) + 1]
+        return full
+
+    def test_staggered_admission_matches_offline(self, pair):
+        cfg, target, tparams, draft, dparams = pair
+        server = self._server(target, tparams, draft, dparams, k=2)
+        reqs = self._requests(cfg, 5, seed=21)
+        rids = {}
+        outputs = {}
+        # two up front, the rest admitted mid-flight as slots free up
+        for i in range(2):
+            rids[i] = server.submit(reqs[i][1], reqs[i][2], reqs[i][0])
+        nxt = 2
+        for _ in range(100):
+            if nxt < len(reqs) and server.has_free_slot():
+                rids[nxt] = server.submit(
+                    reqs[nxt][1], reqs[nxt][2], reqs[nxt][0]
+                )
+                nxt += 1
+            outputs.update(server.step())
+            if nxt >= len(reqs) and not server.num_active:
+                break
+        assert len(outputs) == len(reqs)
+        for i, (imgs, ids, mask) in enumerate(reqs):
+            ref = self._offline(target, tparams, imgs, ids, mask)
+            np.testing.assert_array_equal(
+                np.asarray(outputs[rids[i]]), ref,
+                err_msg=f"request {i} diverged from target greedy",
+            )
+
+    def test_self_draft_fewer_ticks(self, pair):
+        """draft == target: full acceptance — the server drains in
+        ceil((max_new-1)/(k+1)) ticks instead of max_new-1."""
+        cfg, target, tparams, _, _ = pair
+        k = 2
+        server = self._server(target, tparams, target, tparams, k=k, slots=2)
+        (imgs, ids, mask), = self._requests(cfg, 1, seed=3)
+        rid = server.submit(ids, mask, imgs)
+        ticks = 0
+        outputs = {}
+        while server.num_active and ticks < 50:
+            outputs.update(server.step())
+            ticks += 1
+        ref = self._offline(target, tparams, imgs, ids, mask)
+        np.testing.assert_array_equal(np.asarray(outputs[rid]), ref)
+        emitted_after_first = len(outputs[rid]) - 1
+        expected = -(-emitted_after_first // (k + 1)) if emitted_after_first else 0
+        assert ticks <= max(expected, 1), (
+            f"{ticks} ticks for {emitted_after_first} post-prefill tokens "
+            f"at k={k} (full acceptance should need {expected})"
+        )
+
+    def test_slot_reuse_oversubscribed(self, pair):
+        """More requests than slots: finished slots recycle, and the
+        admission insert fully overwrites the abandoned speculative cache
+        rows of the previous occupant."""
+        cfg, target, tparams, draft, dparams = pair
+        server = self._server(target, tparams, draft, dparams, k=3, slots=2)
+        reqs = self._requests(cfg, 6, seed=8)
+        rids = {}
+        outputs = {}
+        nxt = 0
+        for _ in range(200):
+            while nxt < len(reqs) and server.has_free_slot():
+                rids[nxt] = server.submit(
+                    reqs[nxt][1], reqs[nxt][2], reqs[nxt][0]
+                )
+                nxt += 1
+            outputs.update(server.step())
+            if nxt >= len(reqs) and not server.num_active:
+                break
+        assert len(outputs) == len(reqs)
+        for i, (imgs, ids, mask) in enumerate(reqs):
+            ref = self._offline(target, tparams, imgs, ids, mask)
+            np.testing.assert_array_equal(np.asarray(outputs[rids[i]]), ref)
+
+    def test_matches_plain_server(self, pair):
+        """Same weights, same requests: the speculative server's outputs
+        equal the plain GenerationServer's greedy outputs request-for-
+        request (ticks differ; tokens must not)."""
+        from vla_fastvlm_tpu.serving import GenerationServer
+
+        cfg, target, tparams, draft, dparams = pair
+        reqs = self._requests(cfg, 4, seed=13)
+        plain = GenerationServer(
+            target, tparams, num_slots=4, prompt_len=self.PROMPT_LEN,
+            max_new_tokens=self.MAX_NEW, eos_token_id=self.EOS,
+            prefill_batch=2,
+        )
+        spec = self._server(target, tparams, draft, dparams, k=2, slots=4)
+        outs = []
+        for server in (plain, spec):
+            rids = [
+                server.submit(ids, mask, imgs) for imgs, ids, mask in reqs
+            ]
+            done = server.run_to_completion(max_ticks=100)
+            outs.append([done[r] for r in rids])
+        for i, (a, b) in enumerate(zip(*outs)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"request {i}: plain vs speculative server",
+            )
+
+    def test_vocab_mismatch_rejected(self, pair):
+        cfg, target, tparams, _, _ = pair
+        _, draft2, dparams2 = _model(3, vocab_size=cfg.text.vocab_size + 8)
+        with pytest.raises(ValueError, match="vocab"):
+            self._server(target, tparams, draft2, dparams2)
+
+    def test_bad_k_rejected(self, pair):
+        cfg, target, tparams, draft, dparams = pair
+        with pytest.raises(ValueError, match="k must be"):
+            self._server(target, tparams, draft, dparams, k=0)

@@ -7,7 +7,7 @@ from .paged_kv import PagedGenerationServer, PagedKVPool
 from .policy_runtime import ActionQueuePolicy, BatchedEnvRunner
 from .sampling import sample_tokens
 from .sharded import ShardedPolicyRuntime, sharded_generate
-from .speculative import SpeculativeGenerator
+from .speculative import SpeculativeGenerationServer, SpeculativeGenerator
 
 __all__ = [
     "ActionQueuePolicy",
@@ -16,6 +16,7 @@ __all__ = [
     "PagedGenerationServer",
     "PagedKVPool",
     "ShardedPolicyRuntime",
+    "SpeculativeGenerationServer",
     "SpeculativeGenerator",
     "build_cache",
     "generate",

@@ -155,6 +155,7 @@ class GenerationServer:
         top_p: float = 1.0,
         seed: int = 0,
         lora=None,
+        cache_slack: int = 0,
     ) -> None:
         """``mesh``: optional TP mesh — parameters and the KV cache (kv heads
         over ``model``) are placed on it and GSPMD shards every program; use
@@ -173,7 +174,12 @@ class GenerationServer:
         each request through its adapter in the same batched programs;
         ``None`` rows take the zeros base adapter). Adapters are replicated
         on the mesh (rank-r deltas are megabytes; GSPMD re-partitions them
-        against the TP-sharded projections)."""
+        against the TP-sharded projections).
+
+        ``cache_slack``: extra cache positions past
+        ``image + prompt + max_new_tokens`` — used by the speculative
+        subclass, whose rounds write a ``k + 1`` window before rolling the
+        rejected suffix back (``serving/speculative.py``)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -200,7 +206,10 @@ class GenerationServer:
         self._sample_counter = 0
 
         cfg = model.cfg
-        self._cache_len = cfg.num_image_tokens + self.prompt_len + max_new_tokens
+        self._cache_len = (
+            cfg.num_image_tokens + self.prompt_len + max_new_tokens
+            + int(cache_slack)
+        )
         # +1 trash slot: dummy admission rows land there (never decoded).
         self.cache = init_kv_cache(cfg.text, num_slots + 1, self._cache_len)
         if mesh is not None:
@@ -345,7 +354,11 @@ class GenerationServer:
             self._pending = [p for p in self._pending if id(p) not in taken]
             self._admit(batch)
 
-    def _admit(self, batch: List[_Pending]) -> None:
+    def _assemble_admission(self, batch: List[_Pending]):
+        """Pack an admission batch into padded device arrays.
+
+        Returns ``(ids, mask, images, slots, row_lora)`` — ``slots`` maps
+        each row to its claimed slot (dummy rows to the trash slot)."""
         bp = self.prefill_batch
         n = len(batch)
         width = batch[0].bucket
@@ -370,18 +383,12 @@ class GenerationServer:
                 images[row] = req.images[0]
             slots[row] = free[row]
             row_lora[row] = req.lora_index
+        return ids, mask, images, slots, row_lora
 
-        first_tokens, cache_p = self._prefill(
-            self.params,
-            jnp.asarray(images) if images is not None else None,
-            jnp.asarray(ids),
-            jnp.asarray(mask),
-            self._next_key(),
-            self._lora_arg(row_lora),
-        )
-        self.cache = self._insert(self.cache, cache_p, jnp.asarray(slots))
-        first_host = np.asarray(first_tokens)
-
+    def _register_admitted(
+        self, batch: List[_Pending], slots: np.ndarray, first_host: np.ndarray
+    ) -> None:
+        """Slot bookkeeping after the prefill program(s) ran."""
         for row, req in enumerate(batch):
             slot_idx = int(slots[row])
             slot = self._slots[slot_idx]
@@ -392,6 +399,19 @@ class GenerationServer:
             slot.lora_index = req.lora_index
             self._pending_token[slot_idx] = int(first_host[row])
             self._finish_if_done(slot_idx)
+
+    def _admit(self, batch: List[_Pending]) -> None:
+        ids, mask, images, slots, row_lora = self._assemble_admission(batch)
+        first_tokens, cache_p = self._prefill(
+            self.params,
+            jnp.asarray(images) if images is not None else None,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            self._next_key(),
+            self._lora_arg(row_lora),
+        )
+        self.cache = self._insert(self.cache, cache_p, jnp.asarray(slots))
+        self._register_admitted(batch, slots, np.asarray(first_tokens))
 
     def _finish_if_done(self, slot_idx: int) -> None:
         slot = self._slots[slot_idx]

@@ -54,6 +54,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.fastvlm import FastVLM
+from ..models.qwen2 import init_kv_cache
+from .continuous_batching import GenerationServer
 from .generate import build_cache
 
 
@@ -247,3 +249,150 @@ class SpeculativeGenerator:
             method=FastVLM.prefill,
         )
         return logits, cache
+
+
+class SpeculativeGenerationServer(GenerationServer):
+    """Continuous batching with speculative decode ticks (vLLM-style).
+
+    The dense slot server (``serving/continuous_batching.py``) with its
+    decode tick replaced by a draft-verify round across ALL occupied slots:
+    one tick emits ``accepted_i + 1 in [1, k+1]`` tokens per slot instead of
+    one, so decode-bound deployments (7B int8/int4 on one chip, BASELINE.md)
+    amortize each target weight-stream over several tokens while keeping
+    admission-any-time semantics. Outputs are token-identical to the plain
+    ``GenerationServer`` at ``temperature=0`` on the target model alone
+    (pinned in ``tests/test_speculative.py``; bf16-tie caveat in the module
+    docstring applies on TPU).
+
+    Structure per tick (two compiled programs, static shapes):
+
+    - the shared ``_speculative_round`` runs over the slot axis
+      (``num_slots + 1`` rows incl. the trash slot) with an ``active`` mask:
+      inactive rows ride the batch with their cache cursors pinned (the
+      round rewinds their whole window), exactly like the dense server's
+      finished slots ride its decode program;
+    - admission prefills BOTH caches (target logits seed the first token;
+      the draft prefill is cache-only) and inserts each into its slot cache
+      through the shared donated ``insert`` program.
+
+    Per-slot EOS / token-budget truncation happens on the host: a slot that
+    finishes mid-window simply abandons its extra accepted cache rows — the
+    next admission's insert overwrites the whole slot row, so no rollback
+    is needed beyond the round's own.
+
+    Greedy-only (the exactness contract — sampling callers use the plain
+    server); single-chip (the round program is not GSPMD-partitioned) and
+    base-model-only (no LoRA routing on the draft).
+    """
+
+    def __init__(
+        self,
+        model: FastVLM,
+        params,
+        draft: FastVLM,
+        draft_params,
+        *,
+        k: int = 4,
+        num_slots: int = 8,
+        prompt_len=64,
+        max_new_tokens: int = 32,
+        eos_token_id: int = 2,
+        prefill_batch: int = 4,
+    ) -> None:
+        tv = model.cfg.text.vocab_size
+        dv = draft.cfg.text.vocab_size
+        if tv != dv:
+            raise ValueError(
+                f"target/draft vocab mismatch ({tv} vs {dv}): speculative "
+                "decoding requires a shared tokenizer"
+            )
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.k = int(k)
+        super().__init__(
+            model,
+            params,
+            num_slots=num_slots,
+            prompt_len=prompt_len,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=eos_token_id,
+            prefill_batch=prefill_batch,
+            temperature=0.0,
+            # Rounds write a k+1 window before rolling the rejected suffix
+            # back; the high-water mark is accepted length + one window.
+            cache_slack=self.k + 1,
+        )
+        self.draft = draft
+        self.draft_params = draft_params
+        dcfg = draft.cfg
+        self._draft_cache_len = (
+            dcfg.num_image_tokens + self.prompt_len + max_new_tokens
+            + self.k + 1
+        )
+        self.draft_cache = init_kv_cache(
+            dcfg.text, num_slots + 1, self._draft_cache_len
+        )
+        bp = self.prefill_batch
+        dlen = self._draft_cache_len
+
+        def draft_prefill(dparams, images, ids, mask):
+            cache_p = init_kv_cache(dcfg.text, bp, dlen)
+            _, _, cache_p, _, _ = draft.apply(
+                {"params": dparams}, images, ids, mask, cache_p,
+                method=FastVLM.prefill,
+            )
+            return cache_p
+
+        self._draft_prefill = jax.jit(draft_prefill)
+
+    def _admit(self, batch) -> None:
+        ids, mask, images, slots, _ = self._assemble_admission(batch)
+        imgs = jnp.asarray(images) if images is not None else None
+        ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+        first_tokens, cache_p = self._prefill(
+            self.params, imgs, ids_j, mask_j, self._next_key(), None
+        )
+        dcache_p = self._draft_prefill(self.draft_params, imgs, ids_j, mask_j)
+        slots_j = jnp.asarray(slots)
+        # The shared donated insert program retraces per cache shape, so it
+        # serves both the target and draft slot caches.
+        self.cache = self._insert(self.cache, cache_p, slots_j)
+        self.draft_cache = self._insert(self.draft_cache, dcache_p, slots_j)
+        self._register_admitted(batch, slots, np.asarray(first_tokens))
+
+    def step(self):
+        """Admit pending requests, then ONE speculative round across all
+        slots (emitting up to ``k + 1`` tokens per active slot); returns
+        finished request outputs."""
+        self.flush()
+        if any(s.active for s in self._slots):
+            active_h = np.zeros(self.num_slots + 1, bool)
+            for i, s in enumerate(self._slots):
+                active_h[i] = s.active
+            emitted, count, self.cache, self.draft_cache, _ = (
+                _speculative_round(
+                    self.model, self.draft,
+                    self.params, self.draft_params,
+                    self.cache, self.draft_cache,
+                    jnp.asarray(self._pending_token),
+                    jnp.asarray(active_h),
+                    k=self.k,
+                )
+            )
+            emitted_h = np.asarray(emitted)
+            count_h = np.asarray(count)
+            for i, slot in enumerate(self._slots):
+                if not slot.active:
+                    continue
+                for j in range(int(count_h[i])):
+                    tok = int(emitted_h[i, j])
+                    slot.tokens.append(tok)
+                    slot.remaining -= 1
+                    if tok == self.eos_token_id or slot.remaining <= 0:
+                        break
+                self._pending_token[i] = slot.tokens[-1]
+                self._finish_if_done(i)
+
+        finished = self._finished_buffer
+        self._finished_buffer = {}
+        return finished
