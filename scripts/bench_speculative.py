@@ -65,6 +65,13 @@ class Args:
     iters: int = 5
     device: str | None = None
     seed: int = 0
+    # Also measure the CONTINUOUS-BATCHING integration: p50 step() of
+    # SpeculativeGenerationServer (draft-verify tick across all slots) vs
+    # the plain GenerationServer on the same target — the per-tick price of
+    # host routing + one un-amortized dispatch round-trip per round.
+    server: bool = False
+    num_slots: int = 8
+    prefill_batch: int = 4
 
 
 def _preset(size: str):
@@ -132,6 +139,76 @@ def _build(size: str, *, quantization: str, vocab_size: int | None, seed: int):
     params = place_params(params, jax.devices()[0])
     jax.block_until_ready(params)
     return cfg, model, params, bytes_
+
+
+def _bench_server(args: Args, target, tparams, draft, dparams) -> dict:
+    """p50 step() of the speculative server vs the plain server, all slots
+    occupied (text-only synthetic prompts, fabricated weights => the draft
+    acceptance is ~chance, so ``spec_tokens_per_tick`` here is the WORST
+    case; real-checkpoint pairs multiply it by their measured alpha curve —
+    the projected table above)."""
+    import time as _time
+
+    from vla_fastvlm_tpu.serving import (
+        GenerationServer,
+        SpeculativeGenerationServer,
+    )
+
+    rng = np.random.default_rng(args.seed + 2)
+    new = args.max_new_tokens
+
+    def requests(n):
+        out = []
+        for _ in range(n):
+            ids = rng.integers(3, 1000, (1, args.prompt_len)).astype(np.int32)
+            mask = np.ones((1, args.prompt_len), np.int32)
+            out.append((ids, mask))
+        return out
+
+    def drive(server, label):
+        collected = {}
+        for ids, mask in requests(args.num_slots):
+            server.submit(ids, mask)
+        server.flush()  # admissions (and their compiles) off the tick clock
+        collected.update(server.step())  # compile the tick program
+        before = sum(len(s.tokens) for s in server._slots if s.active)
+        before += sum(len(t) for t in collected.values())
+        tick_times = []
+        while server.num_active:
+            t0 = _time.perf_counter()
+            collected.update(server.step())
+            tick_times.append(_time.perf_counter() - t0)
+        emitted = sum(len(t) for t in collected.values()) - before
+        p50 = sorted(tick_times)[len(tick_times) // 2]
+        print(
+            f"[spec-bench] {label}: p50 tick {p50 * 1e3:.2f} ms over "
+            f"{len(tick_times)} ticks ({emitted} timed-tick tokens)",
+            file=sys.stderr,
+        )
+        return p50, emitted / max(len(tick_times), 1)
+
+    spec = SpeculativeGenerationServer(
+        target, tparams, draft, dparams, k=args.k,
+        num_slots=args.num_slots, prompt_len=args.prompt_len,
+        max_new_tokens=new, eos_token_id=-1,
+        prefill_batch=args.prefill_batch,
+    )
+    spec_p50, spec_tpt = drive(spec, "speculative server")
+    plain = GenerationServer(
+        target, tparams, num_slots=args.num_slots,
+        prompt_len=args.prompt_len, max_new_tokens=new,
+        eos_token_id=-1, prefill_batch=args.prefill_batch,
+    )
+    plain_p50, _ = drive(plain, "plain server")
+    return {
+        "server_spec_p50_tick_ms": round(spec_p50 * 1e3, 2),
+        "server_plain_p50_tick_ms": round(plain_p50 * 1e3, 2),
+        # tokens per spec tick at fabricated-weight (worst-case) acceptance
+        "server_spec_tokens_per_tick_worstcase": round(spec_tpt, 2),
+        # tick-time ratio: what a round costs vs one plain decode tick —
+        # with the alpha curve above this prices the server end to end
+        "server_round_over_tick": round(spec_p50 / plain_p50, 2),
+    }
 
 
 def main(args: Args) -> None:
@@ -296,9 +373,14 @@ def main(args: Args) -> None:
         file=sys.stderr,
     )
 
+    server_stats = {}
+    if args.server:
+        server_stats = _bench_server(args, target, tparams, draft, dparams)
+
     print(
         json.dumps(
             {
+                **server_stats,
                 "metric": (
                     f"speculative {args.target_size}-{args.quantization}"
                     f"+{args.draft_size} k={k} projected tokens/sec/chip"

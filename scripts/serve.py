@@ -285,9 +285,10 @@ def main(args: ServeArgs) -> None:
         summary["lora_adapters"] = num_adapters
     if args.draft_model_id:
         summary["spec_k"] = args.spec_k
-        # decode amortization: tokens emitted per speculative tick (plain
-        # greedy serving is 1.0 by construction)
-        summary["tokens_per_tick"] = round(total_tokens / len(tick_times), 2)
+        # decode amortization: tokens emitted per speculative round (plain
+        # greedy serving is 1.0 by construction); server-tracked, so
+        # admission-time first tokens are excluded
+        summary["tokens_per_tick"] = round(server.tokens_per_tick, 2)
     print(json.dumps(summary))
 
 

@@ -289,6 +289,11 @@ class TestSpeculativeServer:
             f"{ticks} ticks for {emitted_after_first} post-prefill tokens "
             f"at k={k} (full acceptance should need {expected})"
         )
+        # acceptance observability: the live amortization counter matches
+        if emitted_after_first:
+            assert server.tokens_per_tick == pytest.approx(
+                emitted_after_first / ticks
+            )
 
     def test_slot_reuse_oversubscribed(self, pair):
         """More requests than slots: finished slots recycle, and the

@@ -344,6 +344,15 @@ class SpeculativeGenerationServer(GenerationServer):
             return cache_p
 
         self._draft_prefill = jax.jit(draft_prefill)
+        # Acceptance observability: tokens emitted by speculative ticks and
+        # the tick count — ``tokens_per_tick`` is the live amortization
+        # factor (1.0 = no draft tokens accepted; k+1 = full acceptance).
+        self.spec_tokens_emitted = 0
+        self.spec_ticks = 0
+
+    @property
+    def tokens_per_tick(self) -> float:
+        return self.spec_tokens_emitted / self.spec_ticks if self.spec_ticks else 0.0
 
     def _admit(self, batch) -> None:
         ids, mask, images, slots, _ = self._assemble_admission(batch)
@@ -381,6 +390,7 @@ class SpeculativeGenerationServer(GenerationServer):
             )
             emitted_h = np.asarray(emitted)
             count_h = np.asarray(count)
+            self.spec_ticks += 1
             for i, slot in enumerate(self._slots):
                 if not slot.active:
                     continue
@@ -388,6 +398,7 @@ class SpeculativeGenerationServer(GenerationServer):
                     tok = int(emitted_h[i, j])
                     slot.tokens.append(tok)
                     slot.remaining -= 1
+                    self.spec_tokens_emitted += 1
                     if tok == self.eos_token_id or slot.remaining <= 0:
                         break
                 self._pending_token[i] = slot.tokens[-1]
