@@ -179,6 +179,11 @@ def _bench_server(args: Args, target, tparams, draft, dparams) -> dict:
             collected.update(server.step())
             tick_times.append(_time.perf_counter() - t0)
         emitted = sum(len(t) for t in collected.values()) - before
+        if not tick_times:
+            raise RuntimeError(
+                "server drained inside the warm-up step — raise "
+                "--max-new-tokens above k+2 so timed ticks exist"
+            )
         p50 = sorted(tick_times)[len(tick_times) // 2]
         print(
             f"[spec-bench] {label}: p50 tick {p50 * 1e3:.2f} ms over "
