@@ -80,12 +80,15 @@ class ServeArgs:
     # One path = that adapter on every request; multiple paths = multi-LoRA
     # (the synthetic stream round-robins requests over base + adapters).
     lora_dir: Tuple[str, ...] = ()
-    # Speculative decoding (dense server only): a small same-vocab draft
-    # model proposes --spec-k tokens per tick, one target forward verifies —
-    # greedy-exact, 1..k+1 tokens emitted per slot per tick
-    # (serving/speculative.py). E.g. --model-id fastvlm-7b --quantization
-    # int8 --draft-model-id fastvlm-0.5b. Incompatible with --paged, --tp,
-    # --lora-dir, and temperature > 0.
+    # Speculative decoding: a small same-vocab draft model proposes
+    # --spec-k tokens per tick, one target forward verifies — 1..k+1 tokens
+    # emitted per slot per tick (serving/speculative.py). Greedy is exact
+    # vs the plain servers; temperature > 0 uses rejection-sampling
+    # verification (target-distribution exact). Composes with --paged
+    # (+ --prefix-cache / --prefill-chunk-tokens / --kv-cache-quantization;
+    # serving/speculative_paged.py). E.g. --model-id fastvlm-7b
+    # --quantization int8 --draft-model-id fastvlm-0.5b --paged.
+    # Incompatible with --tp and --lora-dir.
     draft_model_id: Optional[str] = None
     spec_k: int = 4
 
@@ -144,20 +147,19 @@ def main(args: ServeArgs) -> None:
         mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
     if args.draft_model_id:
         incompatible = []
-        if args.paged:
-            incompatible.append("--paged")
         if args.tp > 1:
-            incompatible.append("--tp > 1")
+            incompatible.append("--tp > 1 (the round program is not GSPMD-partitioned)")
         if args.lora_dir:
-            incompatible.append("--lora-dir")
-        if args.temperature > 0:
-            incompatible.append("temperature > 0 (greedy-exact contract)")
+            incompatible.append("--lora-dir (no adapter routing on the draft)")
         if incompatible:
             raise SystemExit(
                 "--draft-model-id (speculative serving) is incompatible "
                 "with: " + ", ".join(incompatible)
             )
-        from vla_fastvlm_tpu.serving import SpeculativeGenerationServer
+        from vla_fastvlm_tpu.serving import (
+            SpeculativeGenerationServer,
+            SpeculativePagedGenerationServer,
+        )
 
         draft_backbone = FastVLMBackbone(
             FastVLMBackboneConfig(
@@ -169,18 +171,37 @@ def main(args: ServeArgs) -> None:
                 seed=args.seed + 1,
             )
         )
-        server = SpeculativeGenerationServer(
-            backbone.model,
-            backbone.params,
-            draft_backbone.model,
-            draft_backbone.params,
+        common = dict(
             k=args.spec_k,
             num_slots=args.num_slots,
             prompt_len=args.prompt_len,
             max_new_tokens=args.max_new_tokens,
             eos_token_id=-1,  # synthetic stream: run to max length
             prefill_batch=args.prefill_batch,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            seed=args.seed,
         )
+        if args.paged:
+            server = SpeculativePagedGenerationServer(
+                backbone.model,
+                backbone.params,
+                draft_backbone.model,
+                draft_backbone.params,
+                page_size=args.page_size,
+                num_pages=args.num_pages,
+                prefix_cache_size=args.prefix_cache,
+                prefill_chunk_tokens=args.prefill_chunk_tokens,
+                **common,
+            )
+        else:
+            server = SpeculativeGenerationServer(
+                backbone.model,
+                backbone.params,
+                draft_backbone.model,
+                draft_backbone.params,
+                **common,
+            )
     elif args.paged:
         from vla_fastvlm_tpu.serving import PagedGenerationServer
 

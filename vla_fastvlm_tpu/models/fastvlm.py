@@ -338,6 +338,31 @@ class FastVLM(nn.Module):
         )
         return self._logits(hidden, tied), new_cache
 
+    def verify_step_paged(self, input_ids: jnp.ndarray, cache: dict):
+        """Speculative verify window against a paged KV pool (read-only).
+
+        The paged counterpart of ``verify_step`` (``serving/
+        speculative_paged.py``): (B, W) draft-window ids + the page-pool
+        cache dict of ``decode_step_paged`` -> ((B, W, V) logits, rows).
+        Window position ``i`` sits at slot ``index + i`` and attends the
+        stored pages plus window positions ``<= i`` (slot-causal —
+        ``ops/attention.paged_attention`` with W queries), so the target's
+        continuation of each accepted prefix is read from one forward.
+        ``rows`` carries the window's K/V (``k_rows``/``v_rows``:
+        (L, B, W, K, D), + (L, B, W, K) scales under int8) for the server
+        to scatter; the host rolls back the rejected suffix by advancing
+        its slot masks/lengths only ``accepted + 1`` positions. No
+        reference counterpart (the reference never generates text).
+        """
+        hidden, rows, tied = self.language_model(
+            input_ids=input_ids,
+            attention_mask=jnp.ones_like(input_ids, dtype=jnp.int32),
+            cache=cache,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        return self._logits(hidden, tied), rows
+
     def verify_step(self, input_ids: jnp.ndarray, cache: dict):
         """Multi-token cached decode returning EVERY position's logits.
 

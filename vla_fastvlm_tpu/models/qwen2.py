@@ -241,18 +241,21 @@ class Qwen2Attention(nn.Module):
         q, k = apply_rope(q, k, cos, sin)
 
         if page_tables is not None:
-            # Paged decode (t == 1): attention reads K/V pages straight from
-            # the pool (cache_k/cache_v are this layer's (P, K, page, D) pool
+            # Paged decode (t == 1) or speculative verify window (t > 1):
+            # attention reads K/V pages straight from the pool
+            # (cache_k/cache_v are this layer's (P, K, page, D) pool
             # slices) via the page table inside the Pallas kernel — no
             # transient gathered window (serving/paged_kv.py seam). The new
-            # token's K/V joins as an extra softmax column and is RETURNED
-            # (not written): the server scatters the row into the pool after
-            # the tick, keeping the decoder pool-read-only.
+            # tokens' K/V join as extra slot-causal softmax columns and are
+            # RETURNED (not written): the server scatters the rows into the
+            # pool after the tick, keeping the decoder pool-read-only.
+            # Rows squeeze the window axis at t == 1 (the decode tick's
+            # (L, B, K, D) contract); verify windows keep (B, t, K, D).
             from ..ops.attention import paged_attention
 
             if cache_k_scale is not None:
-                # int8 pool: quantize the new row for the server's scatter
-                # and attend with its dequant-roundtrip, so this tick sees
+                # int8 pool: quantize the new rows for the server's scatter
+                # and attend with their dequant-roundtrip, so this tick sees
                 # exactly what the next tick will read back from the pool
                 # (matching the dense int8 cache's write-then-read order).
                 from ..ops.quant import dequantize_kv, quantize_kv
@@ -266,13 +269,19 @@ class Qwen2Attention(nn.Module):
                     pool_k_scale=cache_k_scale, pool_v_scale=cache_v_scale,
                     impl=cfg.attention_impl,
                 )
-                new_cache = (k_q[:, 0], v_q[:, 0], k_s[:, 0], v_s[:, 0])
+                if t == 1:
+                    new_cache = (k_q[:, 0], v_q[:, 0], k_s[:, 0], v_s[:, 0])
+                else:
+                    new_cache = (k_q, v_q, k_s, v_s)
             else:
                 out = paged_attention(
                     q, cache_k, cache_v, page_tables, kv_mask, cache_index,
                     k, v, impl=cfg.attention_impl,
                 )
-                new_cache = (k[:, 0], v[:, 0], None, None)
+                if t == 1:
+                    new_cache = (k[:, 0], v[:, 0], None, None)
+                else:
+                    new_cache = (k, v, None, None)
             out = out.reshape(b, t, n * d)
             if quantized:
                 proj = dense_apply(

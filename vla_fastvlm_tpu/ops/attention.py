@@ -73,35 +73,43 @@ def dot_product_attention(
 
 
 def paged_attention(
-    q: jnp.ndarray,  # (B, 1, N, D) post-RoPE decode queries
+    q: jnp.ndarray,  # (B, W, N, D) post-RoPE decode/verify queries
     pool_k: jnp.ndarray,  # (P_total, K, page, D) physical page pool
     pool_v: jnp.ndarray,  # (P_total, K, page, D)
     tables: jnp.ndarray,  # (B, P_slot) int32 physical page ids (0 = trash)
     kv_mask: jnp.ndarray,  # (B, S_max) stored-position validity
-    lengths: jnp.ndarray,  # (B,) slot write cursor of the current token
-    k_new: jnp.ndarray,  # (B, 1, K, D) current token K (post-RoPE)
-    v_new: jnp.ndarray,  # (B, 1, K, D)
+    lengths: jnp.ndarray,  # (B,) slot write cursor of the current window
+    k_new: jnp.ndarray,  # (B, W, K, D) current window K (post-RoPE)
+    v_new: jnp.ndarray,  # (B, W, K, D)
     *,
     pool_k_scale: jnp.ndarray | None = None,  # (P_total, K, page) int8 pools
     pool_v_scale: jnp.ndarray | None = None,
     scale: float | None = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Decode attention against a paged KV pool -> (B, 1, N, D).
+    """Attention for a W-token window against a paged KV pool -> (B, W, N, D).
 
-    Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``) reads
-    pages via the table inside the kernel (no transient gathered window) —
-    int8 pools included, folding the scales into scores/probs in-kernel
-    (pass the scale pools); everywhere it does not apply (CPU, ``impl="xla"``) the fallback
-    gathers the logical window per layer and reproduces the dense decode
-    path's exact op sequence (insert-at-cursor + slot-causal bias), so
-    greedy tokens match the gathered server bit-for-bit on the same backend.
-    For int8 pools ``k_new``/``v_new`` must be the dequant-roundtripped new
-    row (the caller quantized it for the pool scatter), matching the dense
-    int8 path's write-then-read numerics.
+    ``W == 1`` is the decode tick; ``W > 1`` is the speculative verify
+    window (``serving/speculative_paged.py``) — window position ``i`` sits
+    at slot ``lengths[b] + i`` and may attend the stored pages plus window
+    positions ``<= i`` (slot-causal, exactly the dense ``verify_step``
+    semantics).
+
+    Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``,
+    single-query only) reads pages via the table inside the kernel (no
+    transient gathered window) — int8 pools included, folding the scales
+    into scores/probs in-kernel (pass the scale pools); everywhere it does
+    not apply (CPU, ``impl="xla"``, W > 1) the fallback gathers the logical
+    window per layer and reproduces the dense decode path's exact op
+    sequence (insert-at-cursor + slot-causal bias), so greedy tokens match
+    the gathered server bit-for-bit on the same backend. For int8 pools
+    ``k_new``/``v_new`` must be the dequant-roundtripped new rows (the
+    caller quantized them for the pool scatter), matching the dense int8
+    path's write-then-read numerics.
     """
     quantized = pool_k_scale is not None
-    if impl in ("auto", "flash"):
+    w = q.shape[1]
+    if w == 1 and impl in ("auto", "flash"):
         from .pallas.paged_attention import (
             paged_attention_decode,
             supports_paged_kernel,
@@ -118,7 +126,7 @@ def paged_attention(
             )
             return out[:, None]
 
-    # XLA fallback: gather window -> insert current row -> dense decode math.
+    # XLA fallback: gather window -> insert current rows -> dense decode math.
     p_slot, page = tables.shape[1], pool_k.shape[2]
     s_max = p_slot * page
     b = q.shape[0]
@@ -150,14 +158,15 @@ def paged_attention(
         win_v = insert(gather(pool_v), v_new.astype(pool_v.dtype), lengths)
     kv_mask_upd = jax.vmap(
         lambda row, idx: jax.lax.dynamic_update_slice(
-            row, jnp.ones((1,), jnp.int32), (idx,)
+            row, jnp.ones((w,), jnp.int32), (idx,)
         )
     )(kv_mask.astype(jnp.int32), lengths)
     kv_positions = jnp.broadcast_to(
         jnp.arange(s_max, dtype=jnp.int32)[None, :], (b, s_max)
     )
+    q_positions = lengths[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
     bias = make_attention_bias(
-        lengths[:, None], kv_positions, kv_mask_upd, causal=True
+        q_positions, kv_positions, kv_mask_upd, causal=True
     )
     return dot_product_attention(
         q, win_k.astype(q.dtype), win_v.astype(q.dtype), bias=bias, scale=scale

@@ -8,6 +8,7 @@ from .policy_runtime import ActionQueuePolicy, BatchedEnvRunner
 from .sampling import sample_tokens
 from .sharded import ShardedPolicyRuntime, sharded_generate
 from .speculative import SpeculativeGenerationServer, SpeculativeGenerator
+from .speculative_paged import SpeculativePagedGenerationServer
 
 __all__ = [
     "ActionQueuePolicy",
@@ -18,6 +19,7 @@ __all__ = [
     "ShardedPolicyRuntime",
     "SpeculativeGenerationServer",
     "SpeculativeGenerator",
+    "SpeculativePagedGenerationServer",
     "build_cache",
     "generate",
     "sample_tokens",

@@ -128,6 +128,44 @@ def pick_bucket(buckets, width: int) -> int:
     )
 
 
+def make_slot_insert(bp: int):
+    """Build the donated slot-insert program body for a dense cache pytree.
+
+    ``insert(cache, cache_p, slots)`` writes admission row ``r`` of the
+    prefilled ``cache_p`` into slot ``slots[r]`` of the server cache for
+    every cache buffer — (L, B, S, ...) k/v (+ scales), (B, S) mask, (B,)
+    index. Unrolled static loop; jit with ``donate_argnums=(0,)`` so each
+    dynamic_update_slice is an in-place write. Shared by the dense server,
+    the speculative server (its draft cache), and the paged speculative
+    server's draft cache.
+    """
+
+    def insert(cache, cache_p, slots):
+        def put_row(buf, new, row, slot):
+            if buf.ndim >= 4:  # (L, B, S, ...) k/v
+                start = (0, slot) + (0,) * (buf.ndim - 2)
+                return jax.lax.dynamic_update_slice(
+                    buf, new[:, row : row + 1], start
+                )
+            if buf.ndim == 2:  # (B, S) mask
+                return jax.lax.dynamic_update_slice(
+                    buf, new[row : row + 1], (slot, 0)
+                )
+            return jax.lax.dynamic_update_slice(
+                buf, new[row : row + 1], (slot,)
+            )  # (B,) index
+
+        for row in range(bp):
+            cache = jax.tree_util.tree_map(
+                lambda b, n, row=row: put_row(b, n, row, slots[row]),
+                cache,
+                cache_p,
+            )
+        return cache
+
+    return insert
+
+
 def _pad_to(ids: np.ndarray, mask: np.ndarray, bucket: int):
     pad = bucket - ids.shape[1]
     if pad == 0:
@@ -246,31 +284,9 @@ class GenerationServer:
             )
             return sample_tokens(last_logits, key, temp, top_p_), cache_p
 
-        def insert(cache, cache_p, slots):
-            # slots: (bp,) int32 slot index per admitted row (trash slot for
-            # dummies). Unrolled static loop; the donated cache makes each
-            # dynamic_update_slice an in-place write.
-            def put_row(buf, new, row, slot):
-                if buf.ndim >= 4:  # (L, B, S, ...) k/v
-                    start = (0, slot) + (0,) * (buf.ndim - 2)
-                    return jax.lax.dynamic_update_slice(
-                        buf, new[:, row : row + 1], start
-                    )
-                if buf.ndim == 2:  # (B, S) mask
-                    return jax.lax.dynamic_update_slice(
-                        buf, new[row : row + 1], (slot, 0)
-                    )
-                return jax.lax.dynamic_update_slice(
-                    buf, new[row : row + 1], (slot,)
-                )  # (B,) index
-
-            for row in range(bp):
-                cache = jax.tree_util.tree_map(
-                    lambda b, n, row=row: put_row(b, n, row, slots[row]),
-                    cache,
-                    cache_p,
-                )
-            return cache
+        # slots: (bp,) int32 slot index per admitted row (trash slot for
+        # dummies); see make_slot_insert.
+        insert = make_slot_insert(bp)
 
         def decode(params, tokens, cache, key, lora):
             logits, cache = model.apply(

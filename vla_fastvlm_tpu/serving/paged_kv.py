@@ -280,6 +280,7 @@ class PagedGenerationServer:
         prefix_cache_size: int = 0,
         prefill_chunk_tokens: int = 0,
         lora=None,
+        cache_slack: int = 0,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -375,7 +376,18 @@ class PagedGenerationServer:
         self.prefix_cache_misses = 0
 
         cfg = model.cfg
-        logical = cfg.num_image_tokens + self.prompt_len + max_new_tokens
+        # ``cache_slack``: extra logical positions past image + prompt +
+        # max_new_tokens — the speculative paged subclass writes a k+1
+        # window each tick before the host rolls the rejected suffix back
+        # (``serving/speculative_paged.py``), so its high-water mark is
+        # accepted length + one window. Slack widens reservations too
+        # (below), so admission control still guarantees mid-decode
+        # allocate() never fails.
+        self._growth_slack = int(cache_slack)
+        logical = (
+            cfg.num_image_tokens + self.prompt_len + max_new_tokens
+            + self._growth_slack
+        )
         # Round the logical window up to whole pages.
         page_count = -(-logical // page_size)
         self._max_len = page_count * page_size
@@ -694,7 +706,10 @@ class PagedGenerationServer:
         """A slot is free AND the pool can cover a worst-case request."""
         if not any(not s.active and not s.claimed for s in self._slots):
             return False
-        worst = self.model.cfg.num_image_tokens + self.prompt_len + self.max_new_tokens
+        worst = (
+            self.model.cfg.num_image_tokens + self.prompt_len
+            + self.max_new_tokens + self._growth_slack
+        )
         return self.pool.can_reserve(worst)
 
     @property
@@ -741,7 +756,10 @@ class PagedGenerationServer:
         # Short buckets reserve fewer worst-case pages — bucketing buys
         # admission capacity as well as prefill compute.
         prefill_len = self.model.cfg.num_image_tokens + bucket
-        self.pool.reserve(slot_idx, prefill_len + self.max_new_tokens)
+        self.pool.reserve(
+            slot_idx,
+            prefill_len + self.max_new_tokens + self._growth_slack,
+        )
         self._slots[slot_idx].claimed = True
         rid = self._next_rid
         self._next_rid += 1
