@@ -80,11 +80,20 @@ def _drain(server):
 
 
 def _admission_p50s(make_server, rng, prompt_len, size, iters, warmup):
-    """p50 (miss, hit, miss+tick, hit+tick) admission latencies."""
-    server = make_server(prefix_cache=max(2, iters + warmup + 2))
-    miss, hit, miss_tick, hit_tick = [], [], [], []
+    """p50 (miss, hit, partial, miss+tick, hit+tick) admission latencies.
+
+    "partial" is the page-level layer: a request sharing ~3/4 of the
+    prompt (page-aligned prefix, same image) but with a DIFFERENT suffix —
+    it installs the shared pages and prefills only the tail text chunks
+    (vision encode skipped)."""
+    server = make_server(prefix_cache=max(2, 2 * (iters + warmup) + 2))
+    miss, hit, partial, miss_tick, hit_tick = [], [], [], [], []
+    shared_len = max(1, (3 * prompt_len) // 4)
     for i in range(warmup + iters):
-        req = _request(rng, prompt_len, size)
+        ids = rng.integers(3, 1000, (1, prompt_len)).astype(np.int32)
+        mask = np.ones((1, prompt_len), np.int32)
+        img = rng.random((1, 3, size, size), dtype=np.float32)
+        req = (ids, mask, img)
 
         t0 = time.perf_counter()
         server.submit(*req)
@@ -104,20 +113,33 @@ def _admission_p50s(make_server, rng, prompt_len, size, iters, warmup):
         t_hit_tick = t_hit + (time.perf_counter() - t0)
         _drain(server)
 
+        ids2 = ids.copy()
+        ids2[0, shared_len:] = rng.integers(3, 1000, prompt_len - shared_len)
+        t0 = time.perf_counter()
+        server.submit(ids2, mask, img)
+        server.flush()
+        t_partial = time.perf_counter() - t0
+        _drain(server)
+
         if i >= warmup:
             miss.append(t_miss)
             hit.append(t_hit)
+            partial.append(t_partial)
             miss_tick.append(t_miss_tick)
             hit_tick.append(t_hit_tick)
     assert server.prefix_cache_hits >= iters, (
         server.prefix_cache_hits,
         server.prefix_cache_misses,
     )
+    assert server.prefix_cache_partial_hits >= iters, (
+        server.prefix_cache_partial_hits,
+        server.prefix_cache_misses,
+    )
 
     def p50(xs):
         return round(sorted(xs)[len(xs) // 2] * 1e3, 2)
 
-    return p50(miss), p50(hit), p50(miss_tick), p50(hit_tick)
+    return p50(miss), p50(hit), p50(partial), p50(miss_tick), p50(hit_tick)
 
 
 def _mixed_load(make_server, args, size, prefix_cache):
@@ -205,11 +227,12 @@ def main(args: Args) -> None:
 
     rng = np.random.default_rng(args.seed)
     t0 = time.perf_counter()
-    miss, hit, miss_tick, hit_tick = _admission_p50s(
+    miss, hit, partial, miss_tick, hit_tick = _admission_p50s(
         make_server, rng, args.prompt_len, size, args.iters, args.warmup
     )
     print(
-        f"[prefix-bench] admission p50: miss {miss} ms vs hit {hit} ms; "
+        f"[prefix-bench] admission p50: miss {miss} ms vs whole hit {hit} "
+        f"ms vs partial (page-level, ~3/4 shared) {partial} ms; "
         f"+first tick: {miss_tick} vs {hit_tick} ms "
         f"(setup+compile {time.perf_counter() - t0:.0f}s)",
         file=sys.stderr,
@@ -223,6 +246,7 @@ def main(args: Args) -> None:
         "unit": "ms",
         "miss_ms": miss,
         "hit_ms": hit,
+        "partial_hit_ms": partial,
         "miss_plus_tick_ms": miss_tick,
         "hit_plus_tick_ms": hit_tick,
     }

@@ -305,10 +305,10 @@ class TestPrefixCache:
         # drain both; every page must return (refcounts balance), except
         # the pages the cache entry still pins.
         cached.run_to_completion()
-        entry_pages = sum(
-            len(e["pages"]) for e in cached._prefix_cache.values()
-        )
-        assert used_pages(cached) == entry_pages
+        pinned = {
+            p for e in cached._prefix_cache.values() for p in e["pages"]
+        } | {e["page"] for e in cached._page_cache.values()}
+        assert used_pages(cached) == len(pinned)
 
     def test_eviction_releases_pages(self, vlm):
         cfg, model, params = vlm
@@ -323,10 +323,14 @@ class TestPrefixCache:
             server.submit(*req)
             server.run_to_completion()
         assert len(server._prefix_cache) == 1
-        # all pages back except the surviving entry's pins
+        # all pages back except what the two cache layers still pin (the
+        # whole-prompt entry + the page-level LRU's per-page entries)
         used = (server.pool.num_pages - 1) - server.pool.free_pages
         entry = next(iter(server._prefix_cache.values()))
-        assert used == len(entry["pages"])
+        pinned = set(entry["pages"]) | {
+            e["page"] for e in server._page_cache.values()
+        }
+        assert used == len(pinned)
 
     def test_pool_copy_on_write_isolates_pages(self):
         """Pool-level COW: a private copy of a shared page diverges without

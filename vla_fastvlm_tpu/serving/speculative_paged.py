@@ -287,6 +287,12 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
         super()._admit_from_cache(req)
         self._draft_admit([req])
 
+    def _admit_partial(self, req: _Pending, m: int) -> None:
+        # Page-level partial hit: the target prefills only the tail; the
+        # draft (dense cache, no page sharing) prefills its whole prompt.
+        super()._admit_partial(req, m)
+        self._draft_admit([req])
+
     def _finalize_inflight(self, inf) -> None:
         # Chunked admission paces the TARGET's prefill; the draft prefills
         # whole at finalize (documented divergence, module docstring).
