@@ -80,6 +80,12 @@ class BenchArgs:
     # remat on) instead of the reference-semantics head-only step. Measures
     # the framework's from-scratch/fine-tuning regime.
     train_backbone: bool = False
+    # --mode train only: rank-N LoRA adapters on the decoder projections over
+    # the frozen (optionally --quantization int8) base — the QLoRA step. The
+    # 7B-fits-one-chip configuration is:
+    #   python bench.py --mode train --model-id fastvlm-7b --fabricate \
+    #       --quantization int8 --lora-rank 16 --batch-size 8
+    lora_rank: int = 0
 
 
 def main(args: BenchArgs) -> None:
@@ -121,6 +127,7 @@ def main(args: BenchArgs) -> None:
         train_backbone=args.train_backbone,
         freeze_backbone=not args.train_backbone,
         gradient_checkpointing=args.train_backbone,
+        lora_rank=args.lora_rank,
         dropout=0.0,
     )
     print(f"[bench] building {args.model_id} on {jax.devices()[0]}", file=sys.stderr)
@@ -385,10 +392,16 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     # scan bodies once and would be ~L-times low on the decoder).
     from vla_fastvlm_tpu.utils.flops import fastvlm_train_flops, mfu
 
-    step_flops = fastvlm_train_flops(
-        model, b, int(ids.shape[1]), train_backbone=args.train_backbone
-    )
-    step_mfu = mfu(step_flops, p50, n_chips=n_chips)
+    if args.lora_rank > 0:
+        # The counting twin doesn't model the adapter backward (grads flow
+        # through the frozen quantized matmuls to rank-r factors); report
+        # step time without a made-up MFU.
+        step_flops, step_mfu = None, None
+    else:
+        step_flops = fastvlm_train_flops(
+            model, b, int(ids.shape[1]), train_backbone=args.train_backbone
+        )
+        step_mfu = mfu(step_flops, p50, n_chips=n_chips)
     print(
         f"[bench] train {args.iters} iters x batch {b} in {elapsed:.3f}s "
         f"(p50 {p50 * 1e3:.1f} ms/step)"
@@ -401,6 +414,11 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
             f"fastvla {args.model_id} train step throughput "
             f"(batch {b}, {args.image_size}px"
             + (", full-backbone+remat" if args.train_backbone else ", head-only")
+            + (
+                f", qlora-r{args.lora_rank}({args.quantization})"
+                if args.lora_rank > 0
+                else ""
+            )
             + (f", dp{args.dp}xtp{args.tp}" if n_chips > 1 else "")
             + ")"
         ),

@@ -72,6 +72,9 @@ class Args:
     server: bool = False
     num_slots: int = 8
     prefill_batch: int = 4
+    # With --server: also run the PAGED pair (SpeculativePagedGenerationServer
+    # vs plain PagedGenerationServer) at this page size. 0 = dense only.
+    paged_page_size: int = 0
 
 
 def _preset(size: str):
@@ -205,7 +208,7 @@ def _bench_server(args: Args, target, tparams, draft, dparams) -> dict:
         eos_token_id=-1, prefill_batch=args.prefill_batch,
     )
     plain_p50, _ = drive(plain, "plain server")
-    return {
+    out = {
         "server_spec_p50_tick_ms": round(spec_p50 * 1e3, 2),
         "server_plain_p50_tick_ms": round(plain_p50 * 1e3, 2),
         # tokens per spec tick at fabricated-weight (worst-case) acceptance
@@ -214,6 +217,34 @@ def _bench_server(args: Args, target, tparams, draft, dparams) -> dict:
         # with the alpha curve above this prices the server end to end
         "server_round_over_tick": round(spec_p50 / plain_p50, 2),
     }
+    if args.paged_page_size > 0:
+        from vla_fastvlm_tpu.serving import (
+            PagedGenerationServer,
+            SpeculativePagedGenerationServer,
+        )
+
+        spec_paged = SpeculativePagedGenerationServer(
+            target, tparams, draft, dparams, k=args.k,
+            num_slots=args.num_slots, prompt_len=args.prompt_len,
+            max_new_tokens=new, eos_token_id=-1,
+            prefill_batch=args.prefill_batch,
+            page_size=args.paged_page_size,
+        )
+        sp_p50, sp_tpt = drive(spec_paged, "speculative PAGED server")
+        plain_paged = PagedGenerationServer(
+            target, tparams, num_slots=args.num_slots,
+            prompt_len=args.prompt_len, max_new_tokens=new,
+            eos_token_id=-1, prefill_batch=args.prefill_batch,
+            page_size=args.paged_page_size,
+        )
+        pp_p50, _ = drive(plain_paged, "plain PAGED server")
+        out.update(
+            server_spec_paged_p50_tick_ms=round(sp_p50 * 1e3, 2),
+            server_plain_paged_p50_tick_ms=round(pp_p50 * 1e3, 2),
+            server_spec_paged_tokens_per_tick_worstcase=round(sp_tpt, 2),
+            server_paged_round_over_tick=round(sp_p50 / pp_p50, 2),
+        )
+    return out
 
 
 def main(args: Args) -> None:
