@@ -18,6 +18,7 @@ from vla_fastvlm_tpu.models import FastVLM, fastvlm_tiny
 from vla_fastvlm_tpu.ops.attention import paged_attention
 from vla_fastvlm_tpu.ops.pallas.paged_attention import (
     paged_attention_decode,
+    paged_attention_window,
     supports_paged_kernel,
 )
 from vla_fastvlm_tpu.serving.paged_kv import PagedGenerationServer
@@ -111,6 +112,78 @@ class TestKernelExactness:
         rep = q.shape[2] // kn.shape[2]
         expect = np.repeat(np.asarray(vn)[2, 0], rep, axis=0)
         np.testing.assert_allclose(got[2], expect, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("n,kv", [(4, 2), (6, 2)])
+    def test_window_matches_fallback(self, n, kv):
+        """W > 1 (speculative verify window): the multi-query kernel agrees
+        with the XLA gathered fallback, including the slot-causal triangle
+        among the window's own columns."""
+        w = 3
+        rng = np.random.default_rng(7)
+        q, pk, pv, tables, mask, lengths, _, _ = _setup(n=n, kv=kv, seed=7)
+        d = q.shape[-1]
+        q = jnp.asarray(rng.standard_normal((q.shape[0], w, n, d)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((q.shape[0], w, kv, d)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((q.shape[0], w, kv, d)), jnp.float32)
+        ref = paged_attention(
+            q, pk, pv, tables, mask, lengths, kn, vn, impl="xla"
+        )
+        got = paged_attention_window(
+            q, pk, pv, tables, mask, kn, vn, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_window_int8_pool_matches_fallback(self):
+        from vla_fastvlm_tpu.ops.quant import dequantize_kv, quantize_kv
+
+        w = 3
+        rng = np.random.default_rng(9)
+        q, pk, pv, tables, mask, lengths, _, _ = _setup(seed=9)
+        b, _, n, d = q.shape
+        kv = pk.shape[1]
+        q = jnp.asarray(rng.standard_normal((b, w, n, d)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((b, w, kv, d)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((b, w, kv, d)), jnp.float32)
+        pk_q, pk_s = quantize_kv(pk)
+        pv_q, pv_s = quantize_kv(pv)
+        kn_dq = dequantize_kv(*quantize_kv(kn), jnp.float32)
+        vn_dq = dequantize_kv(*quantize_kv(vn), jnp.float32)
+        ref = paged_attention(
+            q, pk_q, pv_q, tables, mask, lengths, kn_dq, vn_dq,
+            pool_k_scale=pk_s, pool_v_scale=pv_s, impl="xla",
+        )
+        got = paged_attention_window(
+            q, pk_q, pv_q, tables, mask, kn_dq, vn_dq,
+            pool_k_scale=pk_s, pool_v_scale=pv_s, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_window_empty_mask_causal_self(self):
+        """An inactive slot's window attends only its own (causal) new
+        columns: position 0 -> exactly v_new[0]; no NaN anywhere."""
+        w = 3
+        rng = np.random.default_rng(10)
+        q, pk, pv, tables, mask, lengths, _, _ = _setup(seed=10)
+        b, _, n, d = q.shape
+        kv = pk.shape[1]
+        q = jnp.asarray(rng.standard_normal((b, w, n, d)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((b, w, kv, d)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((b, w, kv, d)), jnp.float32)
+        got = np.asarray(
+            paged_attention_window(
+                q, pk, pv, tables, mask, kn, vn, interpret=True
+            )
+        )
+        assert np.isfinite(got).all()
+        rep = n // kv
+        # slot 2 has an empty stored mask: window position 0 sees only the
+        # first new column -> output is v_new[2, 0] repeated over q heads.
+        expect = np.repeat(np.asarray(vn)[2, 0], rep, axis=0)
+        np.testing.assert_allclose(got[2, 0], expect, rtol=1e-6, atol=1e-6)
 
     def test_supports_gating(self):
         assert not supports_paged_kernel((8, 2, 16, 64), 4, jnp.float32, "cpu")

@@ -15,6 +15,25 @@ import jax.numpy as jnp
 NEG_INF = -1e30  # large-but-finite: avoids NaN from (-inf) - (-inf) in softmax
 
 
+def _window_kernel_enabled() -> bool:
+    """W > 1 (speculative verify) Pallas dispatch gate — measured OFF.
+
+    The W = 1 decode kernel is measured strictly better at scale (2.7x the
+    gathered tick, 4.7x less transient — BASELINE.md). The W > 1 verify
+    kernel (round 4) measured a wash-to-loss instead: per-op 0.83-1.07x vs
+    the gathered fallback across shapes, and a same-session 0.5B
+    spec-paged-server A/B of 1.21x (kernel) vs 1.11x (gathered)
+    round-over-tick — the verify gather amortizes over k+1 query tokens,
+    so the kernel's one-read-of-pages advantage no longer pays for its
+    per-page grid overhead. Gathered stays the default;
+    ``FASTVLM_PAGED_WINDOW_KERNEL=1`` opts the kernel in (exactness pinned
+    either way, ``tests/test_paged_attention.py``).
+    """
+    import os
+
+    return os.environ.get("FASTVLM_PAGED_WINDOW_KERNEL", "0") == "1"
+
+
 def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     """Expand KV heads for grouped-query attention: (B, S, K, D) -> (B, S, K*n_rep, D)."""
     if n_rep == 1:
@@ -95,36 +114,34 @@ def paged_attention(
     positions ``<= i`` (slot-causal, exactly the dense ``verify_step``
     semantics).
 
-    Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``,
-    single-query only) reads pages via the table inside the kernel (no
-    transient gathered window) — int8 pools included, folding the scales
-    into scores/probs in-kernel (pass the scale pools); everywhere it does
-    not apply (CPU, ``impl="xla"``, W > 1) the fallback gathers the logical
-    window per layer and reproduces the dense decode path's exact op
-    sequence (insert-at-cursor + slot-causal bias), so greedy tokens match
-    the gathered server bit-for-bit on the same backend. For int8 pools
-    ``k_new``/``v_new`` must be the dequant-roundtripped new rows (the
-    caller quantized them for the pool scatter), matching the dense int8
-    path's write-then-read numerics.
+    Dispatch: the Pallas TPU kernel (``ops/pallas/paged_attention.py``;
+    ``W == 1`` decode and ``W > 1`` verify windows) reads pages via the
+    table inside the kernel (no transient gathered window) — int8 pools
+    included, folding the scales into scores/probs in-kernel (pass the
+    scale pools); everywhere it does not apply (CPU, ``impl="xla"``) the
+    fallback gathers the logical window per layer and reproduces the dense
+    decode path's exact op sequence (insert-at-cursor + slot-causal bias),
+    so greedy tokens match the gathered server bit-for-bit on the same
+    backend. For int8 pools ``k_new``/``v_new`` must be the
+    dequant-roundtripped new rows (the caller quantized them for the pool
+    scatter), matching the dense int8 path's write-then-read numerics.
     """
     quantized = pool_k_scale is not None
     w = q.shape[1]
-    if w == 1 and impl in ("auto", "flash"):
+    if (w == 1 or _window_kernel_enabled()) and impl in ("auto", "flash"):
         from .pallas.paged_attention import (
-            paged_attention_decode,
+            paged_attention_window,
             supports_paged_kernel,
         )
 
         if supports_paged_kernel(
             pool_k.shape, q.shape[2], pool_k.dtype, has_scales=quantized
         ):
-            out = paged_attention_decode(
-                q[:, 0], pool_k, pool_v, tables, kv_mask,
-                k_new[:, 0], v_new[:, 0],
+            return paged_attention_window(
+                q, pool_k, pool_v, tables, kv_mask, k_new, v_new,
                 pool_k_scale=pool_k_scale, pool_v_scale=pool_v_scale,
                 scale=scale,
             )
-            return out[:, None]
 
     # XLA fallback: gather window -> insert current rows -> dense decode math.
     p_slot, page = tables.shape[1], pool_k.shape[2]

@@ -1,4 +1,4 @@
-"""Pallas TPU paged-attention decode kernel.
+"""Pallas TPU paged-attention kernel (decode + speculative verify windows).
 
 Closes the paged server's declared seam (``serving/paged_kv.py``): the
 XLA-gathered decode tick materializes each slot's logical ``(L, B, S, K, D)``
@@ -77,6 +77,7 @@ def _paged_attn_kernel(
     scale: float,
     page: int,
     kv_heads: int,
+    window: int = 1,
 ):
     p = pl.program_id(1)
 
@@ -88,7 +89,7 @@ def _paged_attn_kernel(
 
     _attend_last_page(
         q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
-        scale=scale, kv_heads=kv_heads,
+        scale=scale, kv_heads=kv_heads, window=window,
     )
 
 
@@ -109,6 +110,7 @@ def _paged_attn_kernel_int8(
     scale: float,
     page: int,
     kv_heads: int,
+    window: int = 1,
 ):
     """int8-pool variant: pages stage as a pure int8->float convert (int8
     magnitudes are exact in bf16) and the per-(position, kv-head) scales —
@@ -130,14 +132,15 @@ def _paged_attn_kernel_int8(
 
     _attend_last_page(
         q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
-        scale=scale, kv_heads=kv_heads,
+        scale=scale, kv_heads=kv_heads, window=window,
         kscale_ref=kscale_ref, vscale_ref=vscale_ref,
     )
 
 
 def _attend_last_page(
     q_ref, mask_ref, knew_ref, vnew_ref, o_ref, k_buf, v_buf,
-    *, scale: float, kv_heads: int, kscale_ref=None, vscale_ref=None,
+    *, scale: float, kv_heads: int, window: int = 1,
+    kscale_ref=None, vscale_ref=None,
 ):
     p = pl.program_id(1)
 
@@ -145,24 +148,51 @@ def _attend_last_page(
     def _attend():
         valid = mask_ref[0, 0, :] > 0  # (S_max,)
         for h in range(kv_heads):  # static unroll: K is 2 (0.5B) or 4 (7B)
-            qh = q_ref[0, h].astype(jnp.float32)  # (rep, D)
+            # window == 1 (decode tick): qh is (rep, D), knew/vnew (D,).
+            # window == W > 1 (speculative verify): qh is (W*rep, D) laid out
+            # window-major (row = w_i*rep + r_i), knew/vnew (W, D); window
+            # column j is valid for query row i iff j <= i // rep
+            # (slot-causal among the new tokens; stored pages are all strictly
+            # older than every window position, so ``valid`` covers them).
+            qh = q_ref[0, h].astype(jnp.float32)  # (W*rep, D)
             logits = jax.lax.dot_general(
                 qh,
                 k_buf[h],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # (rep, S_max)
+            ) * scale  # (W*rep, S_max)
             if kscale_ref is not None:  # int8 pool: fold K scales into scores
                 logits = logits * kscale_ref[0, h][None, :].astype(jnp.float32)
             logits = jnp.where(valid[None, :], logits, NEG_INF)
-            # Current token: one always-valid extra column, kept out of the
-            # window so the kernel does not require the pool scatter first.
-            k_new = knew_ref[0, h].astype(jnp.float32)  # (D,)
-            l_new = jnp.sum(qh * k_new[None, :], axis=1, keepdims=True) * scale
-            m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), l_new)
-            ea = jnp.exp(logits - m)  # (rep, S_max); masked cols exp(-inf)=0
-            eb = jnp.exp(l_new - m)  # (rep, 1)
-            denom = jnp.sum(ea, axis=1, keepdims=True) + eb
+            # Current window: always-valid (causally masked) extra columns,
+            # kept out of the stored window so the kernel does not require
+            # the pool scatter to have happened first.
+            k_new = knew_ref[0, h].astype(jnp.float32)  # (D,) or (W, D)
+            if window == 1:
+                l_new = (
+                    jnp.sum(qh * k_new[None, :], axis=1, keepdims=True) * scale
+                )  # (rep, 1)
+            else:
+                rep = qh.shape[0] // window
+                l_new = jax.lax.dot_general(
+                    qh, k_new,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # (W*rep, W)
+                row_win = (
+                    jax.lax.broadcasted_iota(jnp.int32, l_new.shape, 0) // rep
+                )
+                col = jax.lax.broadcasted_iota(jnp.int32, l_new.shape, 1)
+                l_new = jnp.where(col <= row_win, l_new, NEG_INF)
+            m = jnp.maximum(
+                jnp.max(logits, axis=1, keepdims=True),
+                jnp.max(l_new, axis=1, keepdims=True),
+            )
+            ea = jnp.exp(logits - m)  # (W*rep, S_max); masked cols exp(-inf)=0
+            eb = jnp.exp(l_new - m)  # (W*rep, W)
+            denom = jnp.sum(ea, axis=1, keepdims=True) + jnp.sum(
+                eb, axis=1, keepdims=True
+            )
             probs = ea / denom
             if vscale_ref is not None:  # int8 pool: fold V scales into probs
                 probs = probs * vscale_ref[0, h][None, :].astype(jnp.float32)
@@ -172,9 +202,16 @@ def _attend_last_page(
                 v_buf[h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (rep, D)
+            )  # (W*rep, D)
             v_new = vnew_ref[0, h].astype(jnp.float32)
-            out = pv + (eb / denom) * v_new[None, :]
+            if window == 1:
+                out = pv + (eb / denom) * v_new[None, :]
+            else:
+                out = pv + jax.lax.dot_general(
+                    (eb / denom).astype(v_new.dtype), v_new,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             o_ref[0, h] = out.astype(o_ref.dtype)
 
 
@@ -202,7 +239,42 @@ def paged_attention_decode(
     scatter and hands the kernel its dequantized value, matching the
     gathered path's write-then-read numerics).
     """
-    b, n, d = q.shape
+    out = paged_attention_window(
+        q[:, None], pool_k, pool_v, tables, kv_mask,
+        k_new[:, None], v_new[:, None],
+        pool_k_scale=pool_k_scale, pool_v_scale=pool_v_scale,
+        scale=scale, interpret=interpret,
+    )
+    return out[:, 0]
+
+
+def paged_attention_window(
+    q: jnp.ndarray,  # (B, W, N, D) post-RoPE queries, W tokens per slot
+    pool_k: jnp.ndarray,  # (P_total, K, page, D)
+    pool_v: jnp.ndarray,  # (P_total, K, page, D)
+    tables: jnp.ndarray,  # (B, P_slot) int32 physical page ids (0 = trash)
+    kv_mask: jnp.ndarray,  # (B, S_max) stored-position validity
+    k_new: jnp.ndarray,  # (B, W, K, D) current window K (post-RoPE)
+    v_new: jnp.ndarray,  # (B, W, K, D)
+    *,
+    pool_k_scale: Optional[jnp.ndarray] = None,  # (P_total, K, page) int8 pools
+    pool_v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """W-token window attention against a paged KV pool -> (B, W, N, D).
+
+    ``W == 1`` is the decode tick; ``W > 1`` is the speculative verify
+    window (``serving/speculative_paged.py``): window position ``i`` sits at
+    slot position ``length + i`` and attends the stored pages plus window
+    positions ``<= i`` (slot-causal — the new rows join the softmax as
+    causally-masked extra columns, so the kernel never depends on the pool
+    scatter having happened first). Requires the server invariant that
+    ``kv_mask`` only marks positions strictly below every window position
+    (masks are rolled back together with lengths on speculative rejection).
+    int8-pool semantics as in ``paged_attention_decode``.
+    """
+    b, w, n, d = q.shape
     p_total, kv_heads, page, _ = pool_k.shape
     p_slot = tables.shape[1]
     s_max = p_slot * page
@@ -211,7 +283,21 @@ def paged_attention_decode(
         scale = d ** -0.5
     quantized = pool_k_scale is not None
 
-    q_g = q.reshape(b, kv_heads, rep, d)
+    if w == 1:
+        # Exactly the decode tick's historical operand shapes (measured
+        # production path — BASELINE.md paged tables): no window axis.
+        q_g = q[:, 0].reshape(b, kv_heads, rep, d)
+        knew_op, vnew_op = k_new[:, 0], v_new[:, 0]
+        knew_block = (1, kv_heads, d)
+    else:
+        # Window-major row layout per kv head: row = w_i * rep + r_i
+        # (matches the in-kernel ``// rep`` causal index math).
+        q_g = jnp.transpose(
+            q.reshape(b, w, kv_heads, rep, d), (0, 2, 1, 3, 4)
+        ).reshape(b, kv_heads, w * rep, d)
+        knew_op = jnp.transpose(k_new, (0, 2, 1, 3))  # (B, K, W, D)
+        vnew_op = jnp.transpose(v_new, (0, 2, 1, 3))
+        knew_block = (1, kv_heads, w, d)
     # Rank-3 mask so the VMEM block's sublane dim equals the array dim
     # (Mosaic tiling: block dims must be 8/128-multiples OR full-dim; a
     # (1, S) block of a (B, S) array fails the sublane rule).
@@ -230,9 +316,16 @@ def paged_attention_decode(
         lambda bi, pi, tab: (bi, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    new_spec = pl.BlockSpec(
+        knew_block,
+        (lambda bi, pi, tab: (bi, 0, 0))
+        if len(knew_block) == 3
+        else (lambda bi, pi, tab: (bi, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = [
         pl.BlockSpec(
-            (1, kv_heads, rep, d),
+            (1, kv_heads, w * rep, d),
             lambda bi, pi, tab: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -247,16 +340,8 @@ def paged_attention_decode(
             lambda bi, pi, tab: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, kv_heads, d),
-            lambda bi, pi, tab: (bi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, kv_heads, d),
-            lambda bi, pi, tab: (bi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        new_spec,
+        new_spec,
     ]
     scratch_dtype = q.dtype if quantized else pool_k.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -264,7 +349,7 @@ def paged_attention_decode(
         grid=(b, p_slot),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, kv_heads, rep, d),
+            (1, kv_heads, w * rep, d),
             lambda bi, pi, tab: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -285,19 +370,24 @@ def paged_attention_decode(
             return g.reshape(b, kv_heads, s_max).astype(jnp.float32)
 
         operands += [scale_window(pool_k_scale), scale_window(pool_v_scale)]
-    operands += [mask_i, k_new, v_new]
+    operands += [mask_i, knew_op, vnew_op]
     out = pl.pallas_call(
         functools.partial(
             _paged_attn_kernel_int8 if quantized else _paged_attn_kernel,
             scale=scale,
             page=page,
             kv_heads=kv_heads,
+            window=w,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kv_heads, rep, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kv_heads, w * rep, d), q.dtype),
         interpret=interpret,
     )(*operands)
-    return out.reshape(b, n, d)
+    if w == 1:
+        return out.reshape(b, 1, n, d)
+    return jnp.transpose(
+        out.reshape(b, kv_heads, w, rep, d), (0, 2, 1, 3, 4)
+    ).reshape(b, w, n, d)
 
 
 def supports_paged_kernel(

@@ -15,9 +15,12 @@ Structure per tick (ONE compiled program, ONE host fetch — the packed
   draft cache is ~2% of the target pool, so paging it buys nothing) scans
   ``k + 1`` decode steps;
 - the target verifies the ``[last, d_1..d_k]`` window against the page pool
-  READ-ONLY (``FastVLM.verify_step_paged``: W slot-causal queries via the
-  gathered-window path of ``ops/attention.paged_attention``; the
-  single-query Pallas kernel stays the plain tick's decode seam);
+  READ-ONLY (``FastVLM.verify_step_paged``: W slot-causal queries through
+  ``ops/attention.paged_attention``'s gathered-window path — a multi-query
+  Pallas kernel exists but measured a wash-to-loss vs the gather, which
+  amortizes over the k+1 queries, so it is opt-in:
+  ``FASTVLM_PAGED_WINDOW_KERNEL=1``; the single-query Pallas kernel stays
+  the plain tick's measured-better decode path);
 - the window's k+1 K/V rows scatter into each slot's pages at positions
   ``length .. length + k``;
 - acceptance (greedy prefix-match or rejection sampling — both modes of
