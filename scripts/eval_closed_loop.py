@@ -62,6 +62,24 @@ class ClosedLoopArgs:
     # device while the host steps the other groups' envs (same closed-loop
     # semantics; see BatchedEnvRunner.run).
     stagger: int = 1
+    # --- autoregressive action-token policy (fastvla/token_policy.py) ---
+    # "mlp" is the reference-parity regression head; "token" decodes
+    # action_dim discrete tokens through the VLM's lm_head, which makes the
+    # decode-serving stack below apply to closed-loop control.
+    action_head: str = "mlp"
+    action_bins: int = 256
+    # Control-tick execution for the token head: "batch" = one jitted
+    # prefill+scan program over all envs (the MLP-policy analogue);
+    # "dense" | "paged" | "spec-paged" = requests drain through the
+    # corresponding continuous-batching server (serving/token_policy_server).
+    serving: str = "batch"
+    num_slots: int = 16
+    prefill_batch: int = 4
+    page_size: int = 16
+    kv_cache_quantization: str = "none"
+    # spec-paged only: draft model + lookahead.
+    draft_model_id: str = "fastvlm-tiny"
+    spec_k: int = 4
 
 
 class DummyEnv:
@@ -141,6 +159,99 @@ def build_envs(args: ClosedLoopArgs):
     raise ValueError(f"unknown env spec {args.env!r} (use 'dummy' or 'gym:<id>')")
 
 
+def _build_token_server(args: ClosedLoopArgs, policy):
+    """Mount the token policy's control ticks on a generation server
+    (serving/token_policy_server.py): dense, paged, or speculative-paged."""
+    from vla_fastvlm_tpu.serving import (
+        GenerationServer,
+        PagedGenerationServer,
+        SpeculativePagedGenerationServer,
+        TokenPolicyServer,
+    )
+
+    model = policy.backbone.model
+    params = policy.backbone.params
+    ids, _ = policy.backbone._prep_text([args.task])
+    width = ids.shape[1] + args.state_dim
+    kwargs = dict(
+        num_slots=args.num_slots,
+        prompt_len=width,
+        max_new_tokens=args.action_dim,
+        eos_token_id=-1,
+        prefill_batch=args.prefill_batch,
+    )
+    if args.serving == "dense":
+        server = GenerationServer(model, params, **kwargs)
+    elif args.serving == "paged":
+        server = PagedGenerationServer(
+            model, params, page_size=args.page_size, **kwargs
+        )
+    elif args.serving == "spec-paged":
+        draft, dparams = _build_draft(args, policy)
+        server = SpeculativePagedGenerationServer(
+            model, params, draft, dparams, k=args.spec_k,
+            page_size=args.page_size, **kwargs,
+        )
+    else:
+        raise ValueError(
+            f"unknown --serving {args.serving!r} "
+            "(use batch | dense | paged | spec-paged)"
+        )
+    return TokenPolicyServer(policy, server)
+
+
+def _build_draft(args: ClosedLoopArgs, policy):
+    """Vocab-matched multimodal draft at the TARGET's tower resolution
+    (fabricated host-side — identical compute cost to real weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_fastvlm_tpu.device import place_params
+    from vla_fastvlm_tpu.io.fabricate import fabricate_like
+    from vla_fastvlm_tpu.models.fastvlm import (
+        FastVLM,
+        fastvlm_0_5b,
+        fastvlm_1_5b,
+        fastvlm_7b,
+        fastvlm_tiny,
+    )
+    from vla_fastvlm_tpu.serving.generate import build_cache
+
+    presets = {
+        "fastvlm-tiny": fastvlm_tiny,
+        "fastvlm-0.5b": fastvlm_0_5b,
+        "fastvlm-1.5b": fastvlm_1_5b,
+        "fastvlm-7b": fastvlm_7b,
+    }
+    tcfg = policy.backbone.model_config
+    cfg = presets[args.draft_model_id]()
+    cfg = cfg.replace(
+        image_size=tcfg.image_size,
+        text=cfg.text.replace(
+            vocab_size=tcfg.text.vocab_size,
+            dtype=tcfg.text.dtype,
+            param_dtype=tcfg.text.param_dtype,
+        ),
+    )
+    draft = FastVLM(cfg)
+    s = cfg.image_size
+    init_cache = build_cache(cfg, 1, 4, 2)
+    shapes = jax.eval_shape(
+        lambda: FastVLM(cfg).init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, 3, s, s), cfg.text.dtype),
+            jnp.ones((1, 4), jnp.int32),
+            jnp.ones((1, 4), jnp.int32),
+            init_cache,
+            method=FastVLM.prefill,
+        )["params"]
+    )
+    dparams = place_params(
+        fabricate_like(shapes, seed=args.seed + 7), jax.devices()[0]
+    )
+    return draft, dparams
+
+
 def main(args: ClosedLoopArgs) -> None:
     if args.device:
         import os
@@ -163,21 +274,39 @@ def main(args: ClosedLoopArgs) -> None:
     if args.checkpoint_dir:
         policy, _device = load_policy_from_checkpoint(args.checkpoint_dir)
     else:
-        from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLAPolicy
+        from vla_fastvlm_tpu.fastvla import (
+            FastVLAConfig,
+            FastVLAPolicy,
+            FastVLMTokenPolicy,
+        )
 
-        policy = FastVLAPolicy(
-            FastVLAConfig(
-                vlm_model_name=args.model_id,
-                bootstrap_model_name=args.model_id,
-                state_dim=args.state_dim,
-                action_dim=args.action_dim,
-                image_size=args.model_image_size,
-                dtype=args.dtype,
-                param_dtype=args.dtype,
-                quantization=args.quantization,
-                fabricate_params=args.fabricate,
-                dropout=0.0,
-            )
+        config = FastVLAConfig(
+            vlm_model_name=args.model_id,
+            bootstrap_model_name=args.model_id,
+            state_dim=args.state_dim,
+            action_dim=args.action_dim,
+            image_size=args.model_image_size,
+            dtype=args.dtype,
+            param_dtype=args.dtype,
+            quantization=args.quantization,
+            kv_cache_quantization=args.kv_cache_quantization,
+            fabricate_params=args.fabricate,
+            dropout=0.0,
+            action_head=args.action_head,
+            action_bins=args.action_bins,
+        )
+        if args.action_head == "token":
+            policy = FastVLMTokenPolicy(config)
+        else:
+            policy = FastVLAPolicy(config)
+
+    if args.action_head == "token" and args.serving != "batch":
+        policy = _build_token_server(args, policy)
+    elif args.serving != "batch":
+        raise ValueError(
+            "--serving other than 'batch' requires --action-head token "
+            "(the MLP policy's control tick is a single prefill; the "
+            "generation servers serve decode-shaped work)"
         )
 
     if args.dp * args.tp > 1:

@@ -29,7 +29,11 @@ from vla_fastvlm_tpu.data import (
     SyntheticAlohaSource,
     create_aloha_dataloader,
 )
-from vla_fastvlm_tpu.fastvla import FastVLAConfig, FastVLAPolicy
+from vla_fastvlm_tpu.fastvla import (
+    FastVLAConfig,
+    FastVLAPolicy,
+    FastVLMTokenPolicy,
+)
 from vla_fastvlm_tpu.training import Trainer, TrainingConfig
 from vla_fastvlm_tpu.utils import configure_logging
 from vla_fastvlm_tpu.utils.cli import parse_cli
@@ -101,6 +105,12 @@ class TrainArgs:
     lora_alpha: Optional[float] = None
     # Frozen-base weight quantization for QLoRA ("none" | "int8" | "int4").
     quantization: str = "none"
+    # "token" trains the autoregressive action-token policy
+    # (fastvla/token_policy.py — RT-2/OpenVLA-style discretized actions
+    # decoded through the VLM's lm_head; requires --lora-rank > 0 or
+    # --train-backbone since it has no head parameters).
+    action_head: str = "mlp"
+    action_bins: int = 256
 
 
 def main(args: TrainArgs) -> None:
@@ -135,9 +145,14 @@ def main(args: TrainArgs) -> None:
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
         quantization=args.quantization,
+        action_head=args.action_head,
+        action_bins=args.action_bins,
         seed=args.seed,
     )
-    policy = FastVLAPolicy(policy_config)
+    if args.action_head == "token":
+        policy = FastVLMTokenPolicy(policy_config)
+    else:
+        policy = FastVLAPolicy(policy_config)
 
     synthetic = (
         SyntheticAlohaSource(

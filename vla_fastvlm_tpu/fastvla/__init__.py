@@ -7,10 +7,12 @@ from .configuration_fastvla import FastVLAConfig
 from .fastvlm_with_expert import FastVLMWithExpert
 from .modeling_fastvla import FastVLAPolicy
 from .processor_fastvla import FastVLAProcessor
+from .token_policy import FastVLMTokenPolicy
 
 __all__ = [
     "FastVLAConfig",
     "FastVLAPolicy",
     "FastVLAProcessor",
+    "FastVLMTokenPolicy",
     "FastVLMWithExpert",
 ]

@@ -73,6 +73,19 @@ class FastVLAConfig:
     lora_alpha: Optional[float] = None
     # chunk_size > 1 emits (chunk, action_dim) per forward (action chunking).
     chunk_size: int = 1
+    # Autoregressive action-token policy (RT-2/OpenVLA-style;
+    # models/action_tokens.py + fastvla/token_policy.py): "token" decodes
+    # action_dim discrete tokens through the VLM's lm_head instead of the
+    # reference's MLP regression head — no head parameters; train with
+    # lora_rank > 0 (QLoRA when quantized) or train_backbone. Makes the
+    # decode-serving stack (paged KV / speculative / continuous batching)
+    # apply to closed-loop control.
+    action_head: str = "mlp"  # "mlp" | "token"
+    action_bins: int = 256
+    # Clip range of the uniform codebook; actions/states are expected
+    # normalized (LeRobot MEAN_STD -> ~N(0,1); widen for raw values).
+    action_token_low: float = -1.0
+    action_token_high: float = 1.0
     # Cameras per observation; >1 expects (B, ncam, C, H, W) batches and
     # concatenates per-view visual tokens (multi-camera ALOHA).
     num_cameras: int = 1

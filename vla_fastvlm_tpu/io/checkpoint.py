@@ -124,7 +124,14 @@ def load_policy_from_checkpoint(
 
     if "vlm_model_name" in config_dict:
         policy_cfg = FastVLAConfig(**_filter_known_fields(FastVLAConfig, config_dict))
-        policy = FastVLAPolicy(policy_cfg)
+        if getattr(policy_cfg, "action_head", "mlp") == "token":
+            # Autoregressive action-token policy (fastvla/token_policy.py):
+            # same checkpoint layout, no head sub-tree.
+            from ..fastvla import FastVLMTokenPolicy
+
+            policy = FastVLMTokenPolicy(policy_cfg)
+        else:
+            policy = FastVLAPolicy(policy_cfg)
     else:
         backbone_dict = config_dict.pop("backbone")
         backbone_cfg = FastVLMBackboneConfig(

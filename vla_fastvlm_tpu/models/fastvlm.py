@@ -199,6 +199,31 @@ class FastVLM(nn.Module):
         )
         return hidden, seq_mask, text_mask
 
+    def forward_logits(
+        self,
+        images: Optional[jnp.ndarray],
+        input_ids: jnp.ndarray,  # (B, T)
+        attention_mask: Optional[jnp.ndarray] = None,
+    ):
+        """Full-sequence lm_head logits for token-level losses.
+
+        Returns ``(logits (B, N_img + T, V), seq_mask, text_mask)``. Used by
+        the autoregressive action-token policy
+        (``fastvla/token_policy.py``) for teacher-forced cross-entropy; the
+        reference has no generation/logit surface at all (its backbone only
+        pools hidden states, reference ``fastvlm_adapter.py:551-560``).
+        """
+        inputs_embeds, seq_mask, text_mask = self._splice(
+            images, input_ids, attention_mask
+        )
+        hidden, _, tied = self.language_model(
+            inputs_embeds=inputs_embeds,
+            attention_mask=seq_mask,
+            causal=True,
+            compute_tied_logits=self.cfg.text.tie_word_embeddings,
+        )
+        return self._logits(hidden, tied), seq_mask, text_mask
+
     def _logits(self, hidden: jnp.ndarray, tied_logits) -> jnp.ndarray:
         if self.cfg.text.tie_word_embeddings:
             return tied_logits

@@ -9,6 +9,7 @@ from .sampling import sample_tokens
 from .sharded import ShardedPolicyRuntime, sharded_generate
 from .speculative import SpeculativeGenerationServer, SpeculativeGenerator
 from .speculative_paged import SpeculativePagedGenerationServer
+from .token_policy_server import TokenPolicyServer
 
 __all__ = [
     "ActionQueuePolicy",
@@ -20,6 +21,7 @@ __all__ = [
     "SpeculativeGenerationServer",
     "SpeculativeGenerator",
     "SpeculativePagedGenerationServer",
+    "TokenPolicyServer",
     "build_cache",
     "generate",
     "sample_tokens",

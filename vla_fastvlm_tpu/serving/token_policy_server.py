@@ -1,0 +1,126 @@
+"""Closed-loop control over the production generation servers.
+
+Bridges the autoregressive action-token policy
+(``fastvla/token_policy.py``) onto the continuous-batching serving stack:
+every control tick, each environment's observation becomes ONE generation
+request — ``[prompt][state tokens]`` prompt, ``action_dim`` new tokens —
+submitted to a dense, paged, or speculative-paged server; the emitted
+tokens de-bin to the action vector. This is what makes the measured
+decode-serving levers (paged KV pools, Pallas paged attention, chunked
+prefill, speculative draft-verify — BASELINE.md) carry closed-loop robot
+control, which the reference cannot express at all (its serving loop is
+one eager forward per env step, reference
+``lerobot_fastvla/modeling_fastvla.py:113-125``).
+
+The adapter quacks like a FastVLA policy for ``ActionQueuePolicy`` /
+``BatchedEnvRunner`` (``forward(images, states, tasks) -> (B, D)``), so
+`scripts/eval_closed_loop.py --action-head token --serving paged|spec-paged`
+drives it with the standard runner. Within one control tick all ``B``
+requests drain through the server's continuous-batching ticks
+(``ceil(B / num_slots)`` waves of ``action_dim`` decode ticks each);
+requests are re-submitted fresh every control tick (KV state has no value
+across ticks — the observation changes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+class TokenPolicyServer:
+    """Serve a FastVLMTokenPolicy's control ticks through a generation server.
+
+    ``server``: any of ``GenerationServer`` / ``PagedGenerationServer`` /
+    ``SpeculativePagedGenerationServer`` built over the SAME FastVLM model
+    and params as ``policy.backbone`` with ``max_new_tokens ==
+    policy.config.action_dim`` and ``eos_token_id=-1`` (an action token can
+    never terminate a request early).
+    """
+
+    def __init__(self, policy, server) -> None:
+        self.policy = policy
+        self.server = server
+        self.config = policy.config
+        if server.max_new_tokens != policy.config.action_dim:
+            raise ValueError(
+                f"server.max_new_tokens ({server.max_new_tokens}) must equal "
+                f"action_dim ({policy.config.action_dim})"
+            )
+        if server.eos_token_id >= 0:
+            raise ValueError(
+                "build the server with eos_token_id=-1: action tokens must "
+                "never terminate generation early"
+            )
+        mcfg = policy.backbone.model_config
+        bcfg = policy.backbone.config
+
+        def letterbox(images):
+            from ..model.fastvlm_adapter import prepare_image_batch
+
+            return prepare_image_batch(
+                images,
+                size=mcfg.image_size,
+                resize_with_padding=bcfg.resize_with_padding,
+                pad_value=bcfg.pad_value,
+                normalize=bcfg.normalize_imagenet,
+                dtype=mcfg.text.dtype,
+            )
+
+        self._letterbox = jax.jit(letterbox)
+        self._multimodal = mcfg.num_image_tokens > 0
+        self.control_ticks = 0
+        self.server_ticks = 0
+
+    def forward(
+        self,
+        images,
+        states,
+        tasks: List[str] | str,
+        device=None,
+    ) -> np.ndarray:
+        """One control tick: B observations -> (B, action_dim) actions."""
+        del device  # single-chip serving stack
+        policy = self.policy
+        images = policy.processor.prepare_images(images)
+        states = policy.processor.prepare_states(states)
+        b = images.shape[0]
+        tasks = policy.processor.prepare_tasks(tasks, batch_size=b)
+        ids, mask = policy.backbone._prep_text(tasks)
+        ids, mask = policy._pack(
+            np.asarray(ids), np.asarray(mask),
+            policy.tokenizer.encode(np.asarray(states)),
+        )
+        imgs_host: Optional[np.ndarray] = None
+        if self._multimodal:
+            # One jitted letterbox over the whole tick's frames, fetched once
+            # (the servers take tower-size images).
+            imgs_host = np.asarray(self._letterbox(np.asarray(images, np.float32)))
+
+        outputs: Dict[int, List[int]] = {}
+        rid_to_row: Dict[int, int] = {}
+        for row in range(b):
+            while not self.server.has_free_slot():
+                outputs.update(self.server.step())
+                self.server_ticks += 1
+            rid = self.server.submit(
+                ids[row : row + 1],
+                mask[row : row + 1],
+                imgs_host[row : row + 1] if imgs_host is not None else None,
+            )
+            rid_to_row[rid] = row
+        while len(outputs) < b:
+            outputs.update(self.server.step())
+            self.server_ticks += 1
+        self.control_ticks += 1
+
+        d = policy.config.action_dim
+        tokens = np.zeros((b, d), np.int64)
+        for rid, toks in outputs.items():
+            tokens[rid_to_row[rid]] = np.asarray(toks[:d], np.int64)
+        return policy.tokenizer.decode(tokens)  # (B, action_dim) float32
+
+    def reset(self) -> None:
+        return
