@@ -126,7 +126,11 @@ def main(args: BenchArgs) -> None:
         chunk_size=args.chunk_size,
         train_backbone=args.train_backbone,
         freeze_backbone=not args.train_backbone,
-        gradient_checkpointing=args.train_backbone,
+        # Remat the decoder blocks whenever gradients traverse them: the
+        # full-backbone step AND the QLoRA step (LoRA grads flow through the
+        # frozen base's scan — without remat the backward stores all 28
+        # layers' activations, which OOMs 7B at batch 8 on one v5e chip).
+        gradient_checkpointing=args.train_backbone or args.lora_rank > 0,
         lora_rank=args.lora_rank,
         dropout=0.0,
     )
