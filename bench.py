@@ -89,6 +89,12 @@ class BenchArgs:
 
 
 def main(args: BenchArgs) -> None:
+    if args.lora_rank > 0 and args.mode != "train":
+        # lora_rank is a training knob (and it turns decoder remat on via
+        # FastVLAConfig.to_backbone_config); inference benches stay
+        # remat-free by construction. Serving WITH adapters is
+        # scripts/serve.py --lora-dir.
+        raise SystemExit("--lora-rank > 0 requires --mode train")
     if args.device:
         import os
 
@@ -126,11 +132,8 @@ def main(args: BenchArgs) -> None:
         chunk_size=args.chunk_size,
         train_backbone=args.train_backbone,
         freeze_backbone=not args.train_backbone,
-        # Remat the decoder blocks whenever gradients traverse them: the
-        # full-backbone step AND the QLoRA step (LoRA grads flow through the
-        # frozen base's scan — without remat the backward stores all 28
-        # layers' activations, which OOMs 7B at batch 8 on one v5e chip).
-        gradient_checkpointing=args.train_backbone or args.lora_rank > 0,
+        # Remat derivation (train_backbone OR lora_rank > 0) lives in
+        # FastVLAConfig.to_backbone_config — shared with scripts/train.py.
         lora_rank=args.lora_rank,
         dropout=0.0,
     )

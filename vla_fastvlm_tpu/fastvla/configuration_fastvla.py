@@ -61,7 +61,14 @@ class FastVLAConfig:
     # without device init; values are throughput-irrelevant.
     fabricate_params: bool = False
     # Rematerialize decoder blocks in the backward pass (jax.checkpoint):
-    # trades FLOPs for activation memory when training the backbone.
+    # trades FLOPs for activation memory whenever gradients traverse the
+    # decoder — full-backbone training AND LoRA/QLoRA (adapter grads flow
+    # through the frozen base's scanned layers; without remat the backward
+    # stores all layers' activations, which OOMs 7B at batch 8 on one v5e
+    # chip). ``to_backbone_config`` therefore derives remat from
+    # ``train_backbone OR lora_rank > 0`` in addition to this flag; in
+    # forward-only (inference) programs jax.checkpoint is discharged at
+    # trace time, so the derivation never costs serving anything.
     gradient_checkpointing: bool = False
     # LoRA fine-tuning (io/lora.py): rank > 0 mounts low-rank adapters on
     # the decoder projections and trains them alongside the head while the
@@ -114,7 +121,13 @@ class FastVLAConfig:
             kv_cache_quantization=self.kv_cache_quantization,
             train_backbone=self.train_backbone,
             fabricate_params=self.fabricate_params,
-            gradient_checkpointing=self.gradient_checkpointing,
+            # Remat whenever gradients traverse the decoder (see the field
+            # comment): explicit flag OR full-backbone training OR LoRA/QLoRA.
+            gradient_checkpointing=(
+                self.gradient_checkpointing
+                or self.train_backbone
+                or self.lora_rank > 0
+            ),
             num_cameras=self.num_cameras,
             seed=self.seed,
         )

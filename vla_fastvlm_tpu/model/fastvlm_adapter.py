@@ -104,8 +104,9 @@ class FastVLMBackboneConfig:
     # KV cache storage ("none" | "int8"): int8 halves persistent cache HBM
     # (2x slots/context per budget); dense serving paths only.
     kv_cache_quantization: str = "none"
-    # jax.checkpoint the decoder blocks (memory for FLOPs; only matters when
-    # the backbone itself trains).
+    # jax.checkpoint the decoder blocks (memory for FLOPs; matters whenever
+    # gradients traverse the decoder — train_backbone OR lora_rank > 0, since
+    # LoRA grads flow through the frozen base's scanned layers).
     gradient_checkpointing: bool = False
     # Truly train the backbone (reference always stop-grads it).
     train_backbone: bool = False
