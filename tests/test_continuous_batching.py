@@ -185,3 +185,86 @@ class TestGenerationServer:
             server.submit(np.zeros((1, too_wide), np.int32),
                           np.zeros((1, too_wide), np.int32),
                           np.zeros((1, 3, 64, 64), np.float32))
+
+
+class TestStepN:
+    """step_n: N decode ticks as one scanned program (the action-token
+    serving tick). Greedy outputs must be token-identical to per-tick
+    stepping — both are compared against the offline generate reference."""
+
+    def _submit_all(self, server, rng, lengths):
+        prompts = [make_prompt(rng, n) for n in lengths]
+        images = [np.asarray(rng.random((1, 3, 64, 64), dtype=np.float32))
+                  for _ in prompts]
+        rids = [server.submit(*p, img) for p, img in zip(prompts, images)]
+        return prompts, images, rids
+
+    def test_matches_offline_and_per_tick(self, vlm):
+        cfg, model, params = vlm
+        rng = np.random.default_rng(31)
+        server = GenerationServer(
+            model, params, num_slots=3, prompt_len=PROMPT_LEN,
+            max_new_tokens=MAX_NEW, eos_token_id=-1, prefill_batch=2,
+        )
+        prompts, images, rids = self._submit_all(server, rng, (4, 6, 8))
+        outputs = server.step_n(MAX_NEW)
+        # all three finish in the single scanned program
+        assert set(outputs) == set(rids)
+        for rid, (ids, mask), img in zip(rids, prompts, images):
+            ref = np.asarray(
+                generate(model, params, jnp.asarray(img), jnp.asarray(ids),
+                         jnp.asarray(mask), max_new_tokens=MAX_NEW,
+                         eos_token_id=-1)
+            )[0]
+            np.testing.assert_array_equal(np.asarray(outputs[rid]), ref)
+
+    def test_partial_budget_then_drain(self, vlm):
+        """Mixed remaining: one slot a tick ahead caps n_eff; the rest of
+        the tail drains exactly."""
+        cfg, model, params = vlm
+        rng = np.random.default_rng(32)
+        server = GenerationServer(
+            model, params, num_slots=3, prompt_len=PROMPT_LEN,
+            max_new_tokens=MAX_NEW, eos_token_id=-1, prefill_batch=2,
+        )
+        (ids0, mask0), img0 = make_prompt(rng, 5), np.asarray(
+            rng.random((1, 3, 64, 64), dtype=np.float32))
+        rid0 = server.submit(ids0, mask0, img0)
+        server.step()  # admit + 1 tick: rid0 a tick ahead
+        (ids1, mask1), img1 = make_prompt(rng, 7), np.asarray(
+            rng.random((1, 3, 64, 64), dtype=np.float32))
+        rid1 = server.submit(ids1, mask1, img1)
+        outputs = {}
+        while len(outputs) < 2:
+            outputs.update(server.step_n(MAX_NEW))
+        for rid, ids, mask, img in ((rid0, ids0, mask0, img0),
+                                    (rid1, ids1, mask1, img1)):
+            ref = np.asarray(
+                generate(model, params, jnp.asarray(img), jnp.asarray(ids),
+                         jnp.asarray(mask), max_new_tokens=MAX_NEW,
+                         eos_token_id=-1)
+            )[0]
+            np.testing.assert_array_equal(np.asarray(outputs[rid]), ref)
+
+    def test_eos_guard(self, vlm):
+        cfg, model, params = vlm
+        rng = np.random.default_rng(33)
+        server = GenerationServer(
+            model, params, num_slots=2, prompt_len=PROMPT_LEN,
+            max_new_tokens=MAX_NEW, eos_token_id=EOS,
+        )
+        ids, mask = make_prompt(rng, 5)
+        server.submit(ids, mask, np.zeros((1, 3, 64, 64), np.float32))
+        with pytest.raises(ValueError, match="eos_token_id"):
+            server.step_n(MAX_NEW)
+
+    def test_speculative_refuses_step_n(self, vlm):
+        from vla_fastvlm_tpu.serving import SpeculativeGenerationServer
+
+        cfg, model, params = vlm
+        server = SpeculativeGenerationServer(
+            model, params, model, params, k=2, num_slots=2,
+            prompt_len=PROMPT_LEN, max_new_tokens=MAX_NEW, eos_token_id=-1,
+        )
+        with pytest.raises(NotImplementedError, match="draft"):
+            server.step_n(MAX_NEW)

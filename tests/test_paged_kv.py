@@ -360,3 +360,56 @@ class TestPrefixCache:
         pool.free(0)
         pool.free(1)
         assert pool.free_pages == 5
+
+
+class TestPagedStepN:
+    """Paged step_n: the scanned multi-tick program must match offline
+    greedy generation exactly — on the kernel path and the gathered path,
+    across page boundaries and multiple waves."""
+
+    @pytest.mark.parametrize("decode_impl", ["gathered", "kernel"])
+    def test_matches_offline(self, vlm, decode_impl):
+        cfg, model, params = vlm
+        max_new = 9  # > page_size=4: the scan crosses page boundaries
+        server = PagedGenerationServer(
+            model, params, num_slots=3, prompt_len=8, max_new_tokens=max_new,
+            eos_token_id=-1, page_size=4, prefill_batch=2,
+            decode_impl=decode_impl,
+        )
+        reqs = _requests(3, 8, 64, seed=41)
+        rids = [server.submit(*r) for r in reqs]
+        outputs = server.step_n(max_new)
+        assert set(outputs) == set(rids)
+        for rid, (ids, mask, img) in zip(rids, reqs):
+            ref = np.asarray(
+                generate(model, params, jnp.asarray(img), jnp.asarray(ids),
+                         jnp.asarray(mask), max_new_tokens=max_new,
+                         eos_token_id=-1)
+            )[0]
+            np.testing.assert_array_equal(np.asarray(outputs[rid]), ref)
+
+    def test_multi_wave_with_int8_pool(self, vlm):
+        cfg, model, params = vlm
+        model8 = FastVLM(cfg.replace(
+            text=cfg.text.replace(kv_cache_quantization="int8")))
+        max_new = 5
+        server = PagedGenerationServer(
+            model8, params, num_slots=2, prompt_len=8, max_new_tokens=max_new,
+            eos_token_id=-1, page_size=4, prefill_batch=2,
+        )
+        reqs = _requests(4, 8, 64, seed=42)  # 2 waves of 2
+        outputs = {}
+        rids = []
+        i = 0
+        while len(outputs) < len(reqs):
+            while i < len(reqs) and server.has_free_slot():
+                rids.append(server.submit(*reqs[i]))
+                i += 1
+            outputs.update(server.step_n(max_new))
+        for rid, (ids, mask, img) in zip(rids, reqs):
+            ref = np.asarray(
+                generate(model8, params, jnp.asarray(img), jnp.asarray(ids),
+                         jnp.asarray(mask), max_new_tokens=max_new,
+                         eos_token_id=-1)
+            )[0]
+            np.testing.assert_array_equal(np.asarray(outputs[rid]), ref)

@@ -299,6 +299,38 @@ class GenerationServer:
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode = jax.jit(decode, donate_argnums=(2,))
 
+        # N decode ticks as ONE compiled scan with ONE host fetch (step_n):
+        # on the tunneled backend each step() pays a ~30 ms dispatch+fetch
+        # round trip, so fixed-length decode loads (the action-token policy:
+        # every request emits exactly action_dim tokens, eos never fires)
+        # run the whole tail in one program. Lazily compiled per n.
+        decode_n_progs: Dict[int, object] = {}
+
+        def get_decode_n(n: int):
+            if n not in decode_n_progs:
+
+                def decode_n(params, tokens, cache, key, lora):
+                    keys = jax.random.split(key, n)
+
+                    def body(carry, k_):
+                        tok, c = carry
+                        logits, c = model.apply(
+                            _variables(params, lora), tok[:, None], c,
+                            method=FastVLM.decode_step,
+                        )
+                        nxt = sample_tokens(logits, k_, temp, top_p_)
+                        return (nxt, c), nxt
+
+                    (_, cache), toks = jax.lax.scan(
+                        body, (tokens, cache), keys
+                    )
+                    return toks.T, cache  # (B, n)
+
+                decode_n_progs[n] = jax.jit(decode_n, donate_argnums=(2,))
+            return decode_n_progs[n]
+
+        self._get_decode_n = get_decode_n
+
     def _lora_arg(self, ids: Optional[np.ndarray]):
         return lora_call_arg(self._lora, self._lora_multi, ids)
 
@@ -468,6 +500,55 @@ class GenerationServer:
                 self._pending_token[i] = token
                 self._finish_if_done(i)
 
+        finished = self._finished_buffer
+        self._finished_buffer = {}
+        return finished
+
+    def step_n(self, n: int) -> Dict[int, List[int]]:
+        """Admit pending requests, then run up to ``n`` decode ticks as ONE
+        compiled scan with ONE host fetch.
+
+        The host-side semantics match ``n`` consecutive ``step()`` calls for
+        fixed-length loads: the effective tick count is
+        ``min(n, min(remaining over active slots))`` so no slot overruns its
+        token budget, and greedy outputs are token-identical to single
+        ticks (pinned in ``tests/test_serving.py``). Requires
+        ``eos_token_id < 0`` when more than one tick would run (a scanned
+        program cannot stop at EOS mid-scan); sampled runs use one key split
+        across the scan — the stream differs from single ticks but the
+        distribution is identical. This is the action-token serving tick
+        (``serving/token_policy_server.py``): every control-tick request
+        emits exactly ``action_dim`` tokens, so the whole decode tail is one
+        dispatch instead of ``action_dim`` RTT-bound programs.
+        """
+        self.flush()
+        active = [i for i, s in enumerate(self._slots) if s.active]
+        if active:
+            n_eff = min(int(n), min(self._slots[i].remaining for i in active))
+            if n_eff <= 1:
+                return self.step()
+            if self.eos_token_id >= 0:
+                raise ValueError(
+                    "step_n with n > 1 requires eos_token_id < 0 (the "
+                    "scanned decode cannot stop at EOS mid-program)"
+                )
+            slot_lora = np.zeros(self.num_slots + 1, np.int32)
+            for i in active:
+                slot_lora[i] = self._slots[i].lora_index
+            toks, self.cache = self._get_decode_n(n_eff)(
+                self.params,
+                jnp.asarray(self._pending_token),
+                self.cache,
+                self._next_key(),
+                self._lora_arg(slot_lora),
+            )
+            toks_host = np.asarray(toks)  # (B, n_eff): ONE fetch
+            for i in active:
+                slot = self._slots[i]
+                slot.tokens.extend(int(t) for t in toks_host[i])
+                slot.remaining -= n_eff
+                self._pending_token[i] = int(toks_host[i, -1])
+                self._finish_if_done(i)
         finished = self._finished_buffer
         self._finished_buffer = {}
         return finished

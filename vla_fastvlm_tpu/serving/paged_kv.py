@@ -670,6 +670,41 @@ class PagedGenerationServer:
         tick = decode_tick_kernel if self.decode_impl == "kernel" else decode_tick
         self._decode = jax.jit(tick, donate_argnums=(1,))
 
+        # N decode ticks as ONE compiled scan + ONE fetch (``step_n`` — the
+        # action-token serving tick; see the dense server's docstring). The
+        # scan carries (pools, masks, lengths, token): each step runs the
+        # configured tick body, then marks the written position valid and
+        # advances the cursors in-program — exactly the host bookkeeping a
+        # single ``step()`` does between ticks.
+        decode_n_progs: Dict[int, object] = {}
+
+        def get_decode_n(n: int):
+            if n not in decode_n_progs:
+
+                def decode_n(params, pools, tables, masks, lengths, tokens,
+                             key, lora):
+                    rows_b = jnp.arange(tables.shape[0])
+                    keys = jax.random.split(key, n)
+
+                    def body(carry, k_):
+                        pools, masks, lengths, tok = carry
+                        nxt, pools = tick(
+                            params, pools, tables, masks, lengths, tok, k_,
+                            lora,
+                        )
+                        masks = masks.at[rows_b, lengths].set(True)
+                        return (pools, masks, lengths + 1, nxt), nxt
+
+                    (pools, _, _, _), toks = jax.lax.scan(
+                        body, (pools, masks, lengths, tokens), keys
+                    )
+                    return toks.T, pools  # (B, n)
+
+                decode_n_progs[n] = jax.jit(decode_n, donate_argnums=(1,))
+            return decode_n_progs[n]
+
+        self._get_decode_n = get_decode_n
+
         def copy_page(pools, src, dst):
             """Copy one physical page across every pool buffer (page axis 1)
             — the copy-on-write step for a shared partial tail page."""
@@ -1421,6 +1456,67 @@ class PagedGenerationServer:
                 self._slot_mask[i, slot.length] = True
                 slot.length += 1
                 self._pending_token[i] = token
+                self._finish_if_done(i)
+        finished = self._finished
+        self._finished = {}
+        return finished
+
+    def step_n(self, n: int) -> Dict[int, List[int]]:
+        """Admit pending requests (fully — chunk pacing has nothing to
+        interleave with on a fixed-length decode load), then run up to ``n``
+        decode ticks as ONE compiled scan with ONE host fetch. Semantics and
+        guards match the dense server's ``step_n``; pages for the whole
+        scanned window are allocated up front."""
+        if self.prefill_chunk_tokens:
+            while self._pending or self._inflight is not None:
+                self._admission_work()
+        else:
+            self.flush()
+        active = [i for i, s in enumerate(self._slots) if s.active]
+        if active:
+            n_eff = min(int(n), min(self._slots[i].remaining for i in active))
+            if n_eff <= 1:
+                return self.step()
+            if self.eos_token_id >= 0:
+                raise ValueError(
+                    "step_n with n > 1 requires eos_token_id < 0 (the "
+                    "scanned decode cannot stop at EOS mid-program)"
+                )
+            for i in active:
+                # Pages for the K/V rows the scan writes at positions
+                # length .. length + n_eff - 1.
+                self.pool.allocate(i, self._slots[i].length + n_eff)
+            lengths = np.array(
+                [s.length if s.active else 1 for s in self._slots], np.int32
+            )
+            masks = self._slot_mask.copy()
+            for i, slot in enumerate(self._slots):
+                if not slot.active:
+                    masks[i] = False
+                    masks[i, 0] = True
+            slot_lora = np.array(
+                [s.lora_index if s.active else 0 for s in self._slots],
+                np.int32,
+            )
+            toks, new_pools = self._get_decode_n(n_eff)(
+                self.params,
+                self.pool.pools(),
+                jnp.asarray(self.pool.page_table),
+                jnp.asarray(masks),
+                jnp.asarray(lengths),
+                jnp.asarray(self._pending_token),
+                self._next_key(),
+                self._lora_arg(slot_lora),
+            )
+            self.pool.set_pools(new_pools)
+            toks_host = np.asarray(toks)  # (B, n_eff): ONE fetch
+            for i in active:
+                slot = self._slots[i]
+                slot.tokens.extend(int(t) for t in toks_host[i])
+                slot.remaining -= n_eff
+                self._slot_mask[i, slot.length : slot.length + n_eff] = True
+                slot.length += n_eff
+                self._pending_token[i] = int(toks_host[i, -1])
                 self._finish_if_done(i)
         finished = self._finished
         self._finished = {}

@@ -176,6 +176,7 @@ def _speculative_round(
     token: jnp.ndarray,  # (B,) last accepted token per row
     active: jnp.ndarray,  # (B,) rows still generating (cursor-pinned else)
     key,  # PRNG key (unused at temperature 0)
+    target_lora=None,  # adapters on the TARGET's verify only (draft = base)
     *,
     k: int,
     temperature: float = 0.0,
@@ -187,6 +188,13 @@ def _speculative_round(
     ``packed[:, k+1]`` the per-row count — one int32 array so the host pays
     a single fetch per round; inactive rows emit nothing (count 0) and
     their caches do not advance.
+
+    ``target_lora``: optional adapter tree (``io/lora.py``; per-row ids
+    mounted for multi-LoRA) applied to the TARGET's verify forward. The
+    draft never needs adapters: greedy acceptance compares proposals to the
+    adapted target's argmax, and rejection sampling only requires the
+    TARGET distribution ``p`` to be exact — a base-model draft ``q`` just
+    shifts the acceptance rate, never the emitted distribution.
     """
     b = token.shape[0]
     draft_key, accept_key = (
@@ -200,8 +208,11 @@ def _speculative_round(
 
     # --- verify: one target forward over [last, d_1..d_k].
     window = jnp.concatenate([token[:, None], dtoks], axis=1)  # (B, k+1)
+    variables = {"params": target_params}
+    if target_lora is not None:
+        variables["lora"] = target_lora
     tlogits, target_cache = target.apply(
-        {"params": target_params}, window, target_cache,
+        variables, window, target_cache,
         method=FastVLM.verify_step,
     )
 
@@ -380,9 +391,24 @@ class SpeculativeGenerationServer(GenerationServer):
     is needed beyond the round's own (which also clamps the dead lane's
     cursor away from the buffer end).
 
-    Single-chip (the round program is not GSPMD-partitioned) and
-    base-model-only (no LoRA routing on the draft); the PAGED counterpart
-    is ``serving/speculative_paged.py``.
+    LoRA adapters (``lora=``, single or multi with per-request
+    ``submit(lora_index=...)``) mount on the TARGET side only — admission
+    prefill and the round's verify forward; the draft stays the base model
+    (greedy compares proposals against the ADAPTED target's argmax;
+    rejection sampling needs only the target distribution to be exact, so
+    un-adapted proposals just lower acceptance, never correctness; pinned
+    token-exact vs the plain LoRA server in ``tests/test_lora_serving.py``).
+
+    ``mesh``: optional TP mesh — the TARGET's params and KV cache shard
+    exactly like the plain server's (``parallel/sharding``), and GSPMD
+    partitions the round program from its input shardings: the verify
+    forward runs tensor-parallel (kv heads over ``model``, the same
+    collectives as a plain decode tick) while the small draft runs
+    replicated on every chip — redundant by design, since a 0.5B draft step
+    is ~5 ms against a 7B TP verify and replicating it avoids cross-model
+    resharding inside the round. Token-exact vs the single-device server
+    (``tests/test_speculative.py``). The PAGED counterpart is
+    ``serving/speculative_paged.py``.
     """
 
     def __init__(
@@ -401,6 +427,8 @@ class SpeculativeGenerationServer(GenerationServer):
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        lora=None,
+        mesh=None,
     ) -> None:
         validate_draft_pair(model, draft, k)
         self.k = int(k)
@@ -415,20 +443,31 @@ class SpeculativeGenerationServer(GenerationServer):
             temperature=temperature,
             top_p=top_p,
             seed=seed,
+            lora=lora,
+            mesh=mesh,
             # Rounds write a k+1 window before rolling the rejected suffix
             # back; the high-water mark is accepted length + one window.
             cache_slack=self.k + 1,
         )
         self.draft = draft
-        self.draft_params = draft_params
         dcfg = draft.cfg
         self._draft_cache_len = (
             dcfg.num_image_tokens + self.prompt_len + max_new_tokens
             + self.k + 1
         )
-        self.draft_cache = init_kv_cache(
+        draft_cache = init_kv_cache(
             dcfg.text, num_slots + 1, self._draft_cache_len
         )
+        if mesh is not None:
+            # Replicate the draft on the mesh (params AND cache): every chip
+            # runs the cheap draft scan redundantly, no collectives.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            draft_params = jax.device_put(draft_params, replicated)
+            draft_cache = jax.device_put(draft_cache, replicated)
+        self.draft_params = draft_params
+        self.draft_cache = draft_cache
         bp = self.prefill_batch
         dlen = self._draft_cache_len
 
@@ -451,12 +490,24 @@ class SpeculativeGenerationServer(GenerationServer):
     def tokens_per_tick(self) -> float:
         return self.spec_tokens_emitted / self.spec_ticks if self.spec_ticks else 0.0
 
+    def step_n(self, n: int):
+        """A speculative tick already emits up to ``k + 1`` tokens; the
+        inherited scanned plain-decode would advance the target cache
+        without the draft cache (desync). Refuse rather than silently run
+        non-speculative ticks."""
+        raise NotImplementedError(
+            "speculative servers amortize decode through draft-verify "
+            "rounds; use step() (step_n's scanned plain decode would "
+            "desync the draft cache)"
+        )
+
     def _admit(self, batch) -> None:
-        ids, mask, images, slots, _ = self._assemble_admission(batch)
+        ids, mask, images, slots, row_lora = self._assemble_admission(batch)
         imgs = jnp.asarray(images) if images is not None else None
         ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
         first_tokens, cache_p = self._prefill(
-            self.params, imgs, ids_j, mask_j, self._next_key(), None
+            self.params, imgs, ids_j, mask_j, self._next_key(),
+            self._lora_arg(row_lora),  # adapters: target side only
         )
         dcache_p = self._draft_prefill(self.draft_params, imgs, ids_j, mask_j)
         slots_j = jnp.asarray(slots)
@@ -473,8 +524,11 @@ class SpeculativeGenerationServer(GenerationServer):
         self.flush()
         if any(s.active for s in self._slots):
             active_h = np.zeros(self.num_slots + 1, bool)
+            slot_lora = np.zeros(self.num_slots + 1, np.int32)
             for i, s in enumerate(self._slots):
                 active_h[i] = s.active
+                if s.active:
+                    slot_lora[i] = s.lora_index
             packed, self.cache, self.draft_cache, _ = _speculative_round(
                 self.model, self.draft,
                 self.params, self.draft_params,
@@ -482,6 +536,7 @@ class SpeculativeGenerationServer(GenerationServer):
                 jnp.asarray(self._pending_token),
                 jnp.asarray(active_h),
                 self._next_key(),
+                self._lora_arg(slot_lora),
                 k=self.k, temperature=self.temperature, top_p=self.top_p,
             )
             packed_h = np.asarray(packed)  # ONE fetch per tick

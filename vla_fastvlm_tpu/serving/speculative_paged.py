@@ -82,6 +82,7 @@ def _paged_speculative_round(
     draft_cache: dict,  # dense draft cache (B rows)
     active: jnp.ndarray,  # (B,) rows still generating
     key,
+    target_lora=None,  # adapters on the TARGET's verify only (draft = base)
     *,
     k: int,
     page: int,
@@ -117,8 +118,11 @@ def _paged_speculative_round(
     if quantized:
         cache["pool_k_scale"] = pools["k_scale"]
         cache["pool_v_scale"] = pools["v_scale"]
+    variables = {"params": target_params}
+    if target_lora is not None:
+        variables["lora"] = target_lora
     tlogits, rows = target.apply(
-        {"params": target_params}, window, cache,
+        variables, window, cache,
         method=FastVLM.verify_step_paged,
     )
 
@@ -175,11 +179,13 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
     """Paged continuous batching with speculative decode ticks.
 
     Same submit/step/flush surface as ``PagedGenerationServer`` (prompt
-    buckets, admission control, prefix caching, chunked prefill all
-    inherited); the decode tick is a draft-verify round emitting
-    ``accepted_i + 1 in [1, k+1]`` tokens per active slot. Single-chip
-    (no TP mesh) and base-model-only (no LoRA routing on the draft), like
-    the dense speculative server.
+    buckets, admission control, prefix caching, chunked prefill, LoRA —
+    single or multi-adapter — all inherited); the decode tick is a
+    draft-verify round emitting ``accepted_i + 1 in [1, k+1]`` tokens per
+    active slot. Adapters mount on the TARGET side only (admission prefill
+    + verify; the draft stays base — see
+    ``SpeculativeGenerationServer``'s docstring for why that is exact).
+    Single-chip (no TP mesh), like the dense speculative server.
     """
 
     def __init__(
@@ -193,17 +199,6 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
         **kwargs,
     ) -> None:
         validate_draft_pair(model, draft, k)
-        if kwargs.get("mesh") is not None:
-            raise ValueError(
-                "speculative paged serving is single-chip: the round "
-                "program is not GSPMD-partitioned (use the plain paged "
-                "server with a TP mesh)"
-            )
-        if kwargs.get("lora") is not None:
-            raise ValueError(
-                "speculative paged serving does not route LoRA adapters "
-                "(no adapter story on the draft); use the plain servers"
-            )
         self.k = int(k)
         # Ticks write a k+1 window at the slot cursor before the host rolls
         # the rejected suffix back; reservations and the logical window
@@ -211,7 +206,6 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
         kwargs["cache_slack"] = self.k + 1
         super().__init__(model, params, **kwargs)
         self.draft = draft
-        self.draft_params = draft_params
         dcfg = draft.cfg
         self._draft_cache_len = (
             dcfg.num_image_tokens + self.prompt_len + self.max_new_tokens
@@ -220,9 +214,21 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
         # num_slots + 1 rows: the last is the draft's trash row (dummy
         # admission rows land there; the round pads its pool-side arrays
         # with a matching dead lane).
-        self.draft_cache = init_kv_cache(
+        draft_cache = init_kv_cache(
             dcfg.text, self.num_slots + 1, self._draft_cache_len
         )
+        if self.mesh is not None:
+            # TP composition: the TARGET's pools/params shard via the parent
+            # (gathered-window verify partitions like a plain TP decode);
+            # the small draft replicates on every chip (see the dense
+            # speculative server's mesh note).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+            draft_params = jax.device_put(draft_params, replicated)
+            draft_cache = jax.device_put(draft_cache, replicated)
+        self.draft_params = draft_params
+        self.draft_cache = draft_cache
         bp = self.prefill_batch
         dlen = self._draft_cache_len
 
@@ -242,6 +248,15 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
     @property
     def tokens_per_tick(self) -> float:
         return self.spec_tokens_emitted / self.spec_ticks if self.spec_ticks else 0.0
+
+    def step_n(self, n: int):
+        """See ``SpeculativeGenerationServer.step_n`` — refused (a scanned
+        plain decode would desync the draft cache)."""
+        raise NotImplementedError(
+            "speculative servers amortize decode through draft-verify "
+            "rounds; use step() (step_n's scanned plain decode would "
+            "desync the draft cache)"
+        )
 
     # -- draft-side admission ------------------------------------------------
 
@@ -338,11 +353,16 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
                 else:
                     masks[i, 0] = True
             masks[n, 0] = True
+            slot_lora = np.zeros(n + 1, np.int32)
+            for i, slot in enumerate(self._slots):
+                if slot.active:
+                    slot_lora[i] = slot.lora_index
             packed, new_pools, self.draft_cache = _paged_speculative_round(
                 self.model, self.draft, self.params, self.draft_params,
                 self.pool.pools(), jnp.asarray(tables), jnp.asarray(masks),
                 jnp.asarray(lengths), jnp.asarray(token), self.draft_cache,
                 jnp.asarray(active), self._next_key(),
+                self._lora_arg(slot_lora),
                 k=k, page=self.pool.page_size,
                 temperature=self.temperature, top_p=self.top_p,
             )

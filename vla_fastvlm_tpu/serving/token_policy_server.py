@@ -16,10 +16,15 @@ The adapter quacks like a FastVLA policy for ``ActionQueuePolicy`` /
 ``BatchedEnvRunner`` (``forward(images, states, tasks) -> (B, D)``), so
 `scripts/eval_closed_loop.py --action-head token --serving paged|spec-paged`
 drives it with the standard runner. Within one control tick all ``B``
-requests drain through the server's continuous-batching ticks
-(``ceil(B / num_slots)`` waves of ``action_dim`` decode ticks each);
-requests are re-submitted fresh every control tick (KV state has no value
-across ticks — the observation changes).
+requests drain in ``ceil(B / num_slots)`` waves; each wave submits every
+free slot BEFORE touching the device, then runs the whole fixed-length
+decode tail as ONE scanned program with ONE fetch (``step_n`` — an
+action-token request emits exactly ``max_new_tokens`` tokens, eos never
+fires), so a wave costs ``ceil(slots/prefill_batch)`` admission programs
+plus ONE decode program instead of ``action_dim`` RTT-bound ticks
+(VERDICT r4 ask #4; speculative servers keep their own multi-token
+rounds). Requests are re-submitted fresh every control tick (KV state has
+no value across ticks — the observation changes).
 """
 
 from __future__ import annotations
@@ -44,10 +49,10 @@ class TokenPolicyServer:
         self.policy = policy
         self.server = server
         self.config = policy.config
-        if server.max_new_tokens != policy.config.action_dim:
+        if server.max_new_tokens != policy.num_action_tokens:
             raise ValueError(
                 f"server.max_new_tokens ({server.max_new_tokens}) must equal "
-                f"action_dim ({policy.config.action_dim})"
+                f"chunk_size * action_dim ({policy.num_action_tokens})"
             )
         if server.eos_token_id >= 0:
             raise ValueError(
@@ -58,21 +63,21 @@ class TokenPolicyServer:
         bcfg = policy.backbone.config
 
         def letterbox(images):
-            from ..model.fastvlm_adapter import prepare_image_batch
+            from ..model.fastvlm_adapter import prepare_policy_images
 
-            return prepare_image_batch(
-                images,
-                size=mcfg.image_size,
-                resize_with_padding=bcfg.resize_with_padding,
-                pad_value=bcfg.pad_value,
-                normalize=bcfg.normalize_imagenet,
-                dtype=mcfg.text.dtype,
-            )
+            return prepare_policy_images(images, mcfg, bcfg)
 
         self._letterbox = jax.jit(letterbox)
         self._multimodal = mcfg.num_image_tokens > 0
+        # A speculative tick already emits up to k+1 tokens per slot; plain
+        # servers instead run the whole fixed-length decode tail as ONE
+        # scanned program per wave (``step_n`` — the round-4 host-serial
+        # tick was ceil(B/slots) x action_dim RTT-bound programs; VERDICT
+        # r4 ask #4).
+        self._speculative = hasattr(server, "draft")
         self.control_ticks = 0
-        self.server_ticks = 0
+        self.server_ticks = 0  # logical decode ticks (1/token wave or round)
+        self.server_programs = 0  # dispatched decode programs (RTT units)
 
     def forward(
         self,
@@ -101,26 +106,47 @@ class TokenPolicyServer:
 
         outputs: Dict[int, List[int]] = {}
         rid_to_row: Dict[int, int] = {}
-        for row in range(b):
-            while not self.server.has_free_slot():
+        row = 0
+        budget = self.server.max_new_tokens
+        while len(outputs) < b:
+            # Fill every free slot before touching the device: submit only
+            # queues host-side; the next step admits the whole wave in
+            # prefill_batch-sized compiled programs.
+            while row < b and self.server.has_free_slot():
+                rid = self.server.submit(
+                    ids[row : row + 1],
+                    mask[row : row + 1],
+                    imgs_host[row : row + 1]
+                    if imgs_host is not None
+                    else None,
+                )
+                rid_to_row[rid] = row
+                row += 1
+            if self._speculative:
+                # Draft-verify rounds emit 1..k+1 tokens per slot per tick.
                 outputs.update(self.server.step())
                 self.server_ticks += 1
-            rid = self.server.submit(
-                ids[row : row + 1],
-                mask[row : row + 1],
-                imgs_host[row : row + 1] if imgs_host is not None else None,
-            )
-            rid_to_row[rid] = row
-        while len(outputs) < b:
-            outputs.update(self.server.step())
-            self.server_ticks += 1
+                self.server_programs += 1
+            else:
+                # The whole wave's decode tail (budget - 1 ticks after the
+                # prefill-emitted first token) in ONE program + ONE fetch.
+                before = len(outputs)
+                outputs.update(self.server.step_n(budget))
+                done = len(outputs) - before
+                self.server_ticks += budget - 1 if done else 1
+                self.server_programs += 1
         self.control_ticks += 1
 
-        d = policy.config.action_dim
+        d = policy.num_action_tokens
         tokens = np.zeros((b, d), np.int64)
         for rid, toks in outputs.items():
             tokens[rid_to_row[rid]] = np.asarray(toks[:d], np.int64)
-        return policy.tokenizer.decode(tokens)  # (B, action_dim) float32
+        actions = policy.tokenizer.decode(tokens)  # (B, chunk*D) float32
+        if policy.config.chunk_size > 1:
+            return actions.reshape(
+                b, policy.config.chunk_size, policy.config.action_dim
+            )
+        return actions  # (B, action_dim)
 
     def reset(self) -> None:
         return
