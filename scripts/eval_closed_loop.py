@@ -68,6 +68,9 @@ class ClosedLoopArgs:
     # decode-serving stack below apply to closed-loop control.
     action_head: str = "mlp"
     action_bins: int = 256
+    # Action chunking (both head families): one forward emits
+    # (chunk_size, action_dim); the queue serves n_action_steps of them.
+    chunk_size: int = 1
     # Control-tick execution for the token head: "batch" = one jitted
     # prefill+scan program over all envs (the MLP-policy analogue);
     # "dense" | "paged" | "spec-paged" = requests drain through the
@@ -176,7 +179,7 @@ def _build_token_server(args: ClosedLoopArgs, policy):
     kwargs = dict(
         num_slots=args.num_slots,
         prompt_len=width,
-        max_new_tokens=args.action_dim,
+        max_new_tokens=policy.num_action_tokens,  # chunk_size * action_dim
         eos_token_id=-1,
         prefill_batch=args.prefill_batch,
     )
@@ -294,6 +297,7 @@ def main(args: ClosedLoopArgs) -> None:
             dropout=0.0,
             action_head=args.action_head,
             action_bins=args.action_bins,
+            chunk_size=args.chunk_size,
         )
         if args.action_head == "token":
             policy = FastVLMTokenPolicy(config)

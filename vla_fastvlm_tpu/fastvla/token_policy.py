@@ -6,9 +6,14 @@ an MLP head on pooled VLM features (reference
 ``model/policy.py:34-49``). ``FastVLMTokenPolicy`` is the TPU framework's
 second head family: actions (and the robot state) are discretized onto the
 tail of the language model's vocabulary (``models/action_tokens.py``) and
-the policy **decodes action_dim tokens autoregressively through the VLM's
-own lm_head** — no head parameters at all; fine-tuning is LoRA/QLoRA
-(``lora_rank > 0``) or full-backbone (``train_backbone``).
+the policy **decodes chunk_size x action_dim tokens autoregressively
+through the VLM's own lm_head** — no head parameters at all; fine-tuning is
+LoRA/QLoRA (``lora_rank > 0``) or full-backbone (``train_backbone``).
+Action chunking (reference chunk interface
+``lerobot_fastvla/configuration_fastvla.py:17-19``) is just a longer
+fixed-length generation; multi-camera observations letterbox through the
+same folded-view pass as the MLP head
+(``model/fastvlm_adapter.prepare_policy_images``).
 
 Why this exists (round-4 VERDICT #9): the MLP policy's serving step is a
 single prefill — the decode-side production stack (paged KV pools, prefix
@@ -44,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..model.fastvlm_adapter import FastVLMBackbone, prepare_image_batch
+from ..model.fastvlm_adapter import FastVLMBackbone, prepare_policy_images
 from ..models.action_tokens import ActionTokenizer
 from ..models.fastvlm import FastVLM
 from .configuration_fastvla import FastVLAConfig
@@ -64,16 +69,6 @@ class FastVLMTokenPolicy:
             raise ValueError(
                 f"FastVLMTokenPolicy requires action_head='token', got "
                 f"{cfg.action_head!r}"
-            )
-        if cfg.chunk_size != 1:
-            raise ValueError(
-                "action chunking with the token head means decoding "
-                "chunk*action_dim tokens; not wired yet — use chunk_size=1"
-            )
-        if cfg.num_cameras != 1:
-            raise ValueError(
-                "token policy multi-camera letterboxing is not wired yet; "
-                "use num_cameras=1 (the MLP head covers multicam)"
             )
         self.backbone = FastVLMBackbone(cfg.to_backbone_config())
         self.processor = FastVLAProcessor(cfg, self.backbone)
@@ -100,6 +95,13 @@ class FastVLMTokenPolicy:
 
         self._jit_loss = jax.jit(self.loss_fn, static_argnames=("train",))
         self._jit_predict = jax.jit(self._predict_fn)
+
+    @property
+    def num_action_tokens(self) -> int:
+        """Tokens decoded per observation: ``chunk_size x action_dim``
+        (action chunking = a longer fixed-length generation — reference
+        chunk interface ``lerobot_fastvla/configuration_fastvla.py:17-19``)."""
+        return self.config.chunk_size * self.config.action_dim
 
     # ------------------------------------------------------------------
     # parameters (FastVLAPolicy-compatible split)
@@ -179,9 +181,22 @@ class FastVLMTokenPolicy:
         action_tokens = None
         if "actions" in batch:
             actions = np.asarray(batch["actions"], dtype=np.float32)
-            if actions.ndim == 3:  # (B, T, D) time-major -> supervise step 0
-                actions = actions[:, 0]
-            action_tokens = self.tokenizer.encode(actions)
+            chunk = self.config.chunk_size
+            if chunk == 1:
+                if actions.ndim == 3:  # (B, T, D) time-major -> step 0
+                    actions = actions[:, 0]
+            else:
+                # Action chunking: supervise the first `chunk` future steps
+                # as one chunk x action_dim token sequence.
+                if actions.ndim != 3 or actions.shape[1] < chunk:
+                    raise ValueError(
+                        f"chunk_size={chunk} needs time-major actions "
+                        f"(B, T >= {chunk}, D); got {actions.shape}"
+                    )
+                actions = actions[:, :chunk]
+            action_tokens = self.tokenizer.encode(actions).reshape(
+                actions.shape[0], -1
+            )  # (B, chunk * D)
         out_ids, out_mask = self._pack(
             np.asarray(ids), np.asarray(mask), state_tokens, action_tokens
         )
@@ -209,21 +224,9 @@ class FastVLMTokenPolicy:
         """Teacher-forced cross-entropy over the action-token positions."""
         del dropout_rng, train  # no dropout in the token path
         params = {**frozen, **trainable}
-        cfg = self.config
         bcfg = self.backbone.config
         mcfg = self.backbone.model_config
-        images = arrays["images"]
-        if mcfg.num_image_tokens > 0:
-            images = prepare_image_batch(
-                images,
-                size=mcfg.image_size,
-                resize_with_padding=bcfg.resize_with_padding,
-                pad_value=bcfg.pad_value,
-                normalize=bcfg.normalize_imagenet,
-                dtype=mcfg.text.dtype,
-            )
-        else:
-            images = None
+        images = prepare_policy_images(arrays["images"], mcfg, bcfg)
         variables = {"params": params["backbone"]}
         if "lora" in params:
             variables["lora"] = params["lora"]
@@ -234,7 +237,7 @@ class FastVLMTokenPolicy:
             arrays["attention_mask"],
             method=FastVLM.forward_logits,
         )
-        targets = arrays["action_tokens"].astype(jnp.int32)  # (B, D_a)
+        targets = arrays["action_tokens"].astype(jnp.int32)  # (B, chunk*D)
         b, d_a = targets.shape
         # Predictor positions: the action token for dim j sits at spliced
         # index n_img + true_len - D_a + j (right-packed rows), so the
@@ -251,7 +254,10 @@ class FastVLMTokenPolicy:
         loss = jnp.mean(ce)
         # Comparable quality metric: decode the argmax tokens to bin centers
         # against the continuous targets (includes the binning floor).
-        pred_actions = self.tokenizer.decode_jnp(jnp.argmax(picked, axis=-1))
+        # (B, chunk*D) -> the targets' shape ((B, D) or (B, chunk, D)).
+        pred_actions = self.tokenizer.decode_jnp(
+            jnp.argmax(picked, axis=-1)
+        ).reshape(arrays["actions"].shape)
         mse = jnp.mean(
             jnp.square(pred_actions - arrays["actions"].astype(jnp.float32))
         )
@@ -263,28 +269,24 @@ class FastVLMTokenPolicy:
 
         mcfg = self.backbone.model_config
         bcfg = self.backbone.config
-        if mcfg.num_image_tokens > 0:
-            images = prepare_image_batch(
-                images,
-                size=mcfg.image_size,
-                resize_with_padding=bcfg.resize_with_padding,
-                pad_value=bcfg.pad_value,
-                normalize=bcfg.normalize_imagenet,
-                dtype=mcfg.text.dtype,
-            )
-        else:
-            images = None
+        images = prepare_policy_images(images, mcfg, bcfg)
         tokens = generate(
             self.backbone.model,
             params["backbone"],
             images,
             input_ids,
             attention_mask,
-            max_new_tokens=self.config.action_dim,
-            eos_token_id=-1,  # never fires: exactly action_dim tokens
+            max_new_tokens=self.num_action_tokens,
+            eos_token_id=-1,  # never fires: exactly chunk*action_dim tokens
             lora=params.get("lora"),
         )
-        return self.tokenizer.decode_jnp(tokens)  # (B, action_dim)
+        actions = self.tokenizer.decode_jnp(tokens)  # (B, chunk*D)
+        if self.config.chunk_size > 1:
+            b = actions.shape[0]
+            return actions.reshape(
+                b, self.config.chunk_size, self.config.action_dim
+            )
+        return actions  # (B, action_dim)
 
     # ------------------------------------------------------------------
     # reference-parity API surface

@@ -126,6 +126,41 @@ def _np_dtype(name: str):
     return {"float32": np.float32, "bfloat16": jnp.bfloat16, "float16": np.float16}[name]
 
 
+def prepare_policy_images(images, mcfg, cfg):
+    """Model-facing image prep shared by every policy compute path.
+
+    (B, 3, H, W) — or (B, ncam, 3, H, W) when ``mcfg.num_cameras > 1`` —
+    float in [0,1] -> letterboxed/normalized batch at the tower resolution
+    (multi-camera folds views into the batch dim for ONE prepare pass, the
+    same MXU-friendly fold ``models/fastvlm.encode_images`` uses). Returns
+    ``None`` for text-only configs. Pure jnp: runs inside jitted programs.
+    Reference pipeline: ``fastvlm_adapter.py:479-488`` (pinned to CPU per
+    batch there; on-device here).
+    """
+    if mcfg.num_image_tokens == 0:
+        return None
+    if mcfg.num_cameras > 1:
+        b, ncam = images.shape[:2]
+        folded = images.reshape((b * ncam,) + images.shape[2:])
+        folded = prepare_image_batch(
+            folded,
+            size=mcfg.image_size,
+            resize_with_padding=cfg.resize_with_padding,
+            pad_value=cfg.pad_value,
+            normalize=cfg.normalize_imagenet,
+            dtype=mcfg.text.dtype,
+        )
+        return folded.reshape((b, ncam) + folded.shape[1:])
+    return prepare_image_batch(
+        images,
+        size=mcfg.image_size,
+        resize_with_padding=cfg.resize_with_padding,
+        pad_value=cfg.pad_value,
+        normalize=cfg.normalize_imagenet,
+        dtype=mcfg.text.dtype,
+    )
+
+
 class FastVLMBackbone:
     """Host-side wrapper owning the Flax FastVLM, its params, and tokenizer.
 
@@ -413,30 +448,7 @@ class FastVLMBackbone:
                       lora=None):
         cfg = self.config
         mcfg = self.model_config
-        if mcfg.num_image_tokens > 0:
-            if mcfg.num_cameras > 1:
-                b, ncam = images.shape[:2]
-                folded = images.reshape((b * ncam,) + images.shape[2:])
-                folded = prepare_image_batch(
-                    folded,
-                    size=mcfg.image_size,
-                    resize_with_padding=cfg.resize_with_padding,
-                    pad_value=cfg.pad_value,
-                    normalize=cfg.normalize_imagenet,
-                    dtype=mcfg.text.dtype,
-                )
-                images = folded.reshape((b, ncam) + folded.shape[1:])
-            else:
-                images = prepare_image_batch(
-                    images,
-                    size=mcfg.image_size,
-                    resize_with_padding=cfg.resize_with_padding,
-                    pad_value=cfg.pad_value,
-                    normalize=cfg.normalize_imagenet,
-                    dtype=mcfg.text.dtype,
-                )
-        else:
-            images = None
+        images = prepare_policy_images(images, mcfg, cfg)
         variables = {"params": params}
         if lora is not None:
             variables["lora"] = lora
