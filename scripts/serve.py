@@ -85,10 +85,12 @@ class ServeArgs:
     # emitted per slot per tick (serving/speculative.py). Greedy is exact
     # vs the plain servers; temperature > 0 uses rejection-sampling
     # verification (target-distribution exact). Composes with --paged
-    # (+ --prefix-cache / --prefill-chunk-tokens / --kv-cache-quantization;
-    # serving/speculative_paged.py). E.g. --model-id fastvlm-7b
+    # (+ --prefix-cache / --prefill-chunk-tokens / --kv-cache-quantization),
+    # with --lora-dir (adapters mount on the TARGET's prefill/verify only;
+    # the base-model draft just lowers acceptance, never exactness —
+    # serving/speculative.py), and with --tp (target shards on the mesh,
+    # draft replicates). E.g. --model-id fastvlm-7b
     # --quantization int8 --draft-model-id fastvlm-0.5b --paged.
-    # Incompatible with --tp and --lora-dir.
     draft_model_id: Optional[str] = None
     spec_k: int = 4
 
@@ -146,16 +148,6 @@ def main(args: ServeArgs) -> None:
 
         mesh = make_mesh(data=1, model=args.tp, devices=jax.devices()[: args.tp])
     if args.draft_model_id:
-        incompatible = []
-        if args.tp > 1:
-            incompatible.append("--tp > 1 (the round program is not GSPMD-partitioned)")
-        if args.lora_dir:
-            incompatible.append("--lora-dir (no adapter routing on the draft)")
-        if incompatible:
-            raise SystemExit(
-                "--draft-model-id (speculative serving) is incompatible "
-                "with: " + ", ".join(incompatible)
-            )
         from vla_fastvlm_tpu.serving import (
             SpeculativeGenerationServer,
             SpeculativePagedGenerationServer,
@@ -181,6 +173,8 @@ def main(args: ServeArgs) -> None:
             temperature=args.temperature,
             top_p=args.top_p,
             seed=args.seed,
+            lora=lora,  # target-side adapters; the draft stays base
+            mesh=mesh,  # TP: target shards, draft replicates
         )
         if args.paged:
             server = SpeculativePagedGenerationServer(

@@ -200,16 +200,6 @@ class TestSpeculativePagedExactness:
             assert 1 <= len(toks) <= MAX_NEW
             assert all(0 <= t < cfg.text.vocab_size for t in toks)
 
-    def test_mesh_rejected(self, pair):
-        cfg, target, tparams, draft, dparams = pair
-        with pytest.raises(ValueError, match="single-chip"):
-            _spec(target, tparams, draft, dparams, mesh=object())
-
-    def test_lora_rejected(self, pair):
-        cfg, target, tparams, draft, dparams = pair
-        with pytest.raises(ValueError, match="LoRA"):
-            _spec(target, tparams, draft, dparams, lora={"x": 1})
-
     def test_vocab_mismatch_rejected(self, pair):
         cfg, target, tparams, _, _ = pair
         _, draft2, dparams2 = _model(3, vocab_size=cfg.text.vocab_size + 8)
