@@ -399,16 +399,11 @@ def _bench_train(args: BenchArgs, model, images, ids, mask, states) -> None:
     # scan bodies once and would be ~L-times low on the decoder).
     from vla_fastvlm_tpu.utils.flops import fastvlm_train_flops, mfu
 
-    if args.lora_rank > 0:
-        # The counting twin doesn't model the adapter backward (grads flow
-        # through the frozen quantized matmuls to rank-r factors); report
-        # step time without a made-up MFU.
-        step_flops, step_mfu = None, None
-    else:
-        step_flops = fastvlm_train_flops(
-            model, b, int(ids.shape[1]), train_backbone=args.train_backbone
-        )
-        step_mfu = mfu(step_flops, p50, n_chips=n_chips)
+    step_flops = fastvlm_train_flops(
+        model, b, int(ids.shape[1]),
+        train_backbone=args.train_backbone, lora_rank=args.lora_rank,
+    )
+    step_mfu = mfu(step_flops, p50, n_chips=n_chips)
     print(
         f"[bench] train {args.iters} iters x batch {b} in {elapsed:.3f}s "
         f"(p50 {p50 * 1e3:.1f} ms/step)"

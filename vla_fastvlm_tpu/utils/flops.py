@@ -151,6 +151,7 @@ def fastvlm_train_flops(
     batch: int,
     prompt_len: int,
     train_backbone: bool = False,
+    lora_rank: int = 0,
 ) -> Optional[float]:
     """Exact model FLOPs of one bench train step, XLA-counted.
 
@@ -159,12 +160,18 @@ def fastvlm_train_flops(
     is frozen per reference semantics — ``fastvlm_adapter.py:501`` — so the
     backward pass touches only the head). ``train_backbone=True``
     additionally differentiates the backbone params (the full fine-tuning
-    regime); the twin stays remat-free, so the count is *useful* model
-    FLOPs — the standard MFU convention excludes rematerialization
-    recompute. Same scan-unrolled AOT-on-CPU methodology as
-    ``fastvlm_serve_flops`` (the cost model counts scan bodies once). The
-    optimizer update (AdamW elementwise) is excluded as negligible. Returns
-    None when the CPU backend or cost analysis is unavailable.
+    regime). ``lora_rank > 0`` mounts rank-r adapters on the twin's decoder
+    projections and differentiates {head, lora} over the frozen base — the
+    LoRA/QLoRA step: the backward traverses every frozen base matmul
+    (d-loss/d-activation chains through ``y = xW + xAB``) plus the rank-r
+    factor grads, and XLA's cost model counts exactly that. The twin stays
+    remat-free, so the count is *useful* model FLOPs — the standard MFU
+    convention excludes rematerialization recompute (and quantization is
+    stripped: model FLOPs are float FLOPs by definition). Same
+    scan-unrolled AOT-on-CPU methodology as ``fastvlm_serve_flops`` (the
+    cost model counts scan bodies once). The optimizer update (AdamW
+    elementwise) is excluded as negligible. Returns None when the CPU
+    backend or cost analysis is unavailable.
     """
     import jax.numpy as jnp
 
@@ -173,6 +180,9 @@ def fastvlm_train_flops(
     except Exception:
         return None
     from ..models.fastvlm import FastVLM, pool_hidden, pool_last_text_token
+
+    if lora_rank > 0 and train_backbone:
+        raise ValueError("lora_rank > 0 with train_backbone is contradictory")
 
     mcfg = model.backbone.model_config
     mcfg = mcfg.replace(
@@ -184,24 +194,27 @@ def fastvlm_train_flops(
     state_dim = model.config.state_dim
     action_dim = model.config.action_dim
 
-    def loss(head_params, params, images, ids, mask, states, actions):
+    def loss(trainable, params, images, ids, mask, states, actions):
+        variables = {"params": params}
+        if "lora" in trainable:
+            variables["lora"] = trainable["lora"]
         hidden, _seq_mask, text_mask = twin.apply(
-            {"params": params}, images, ids, mask
+            variables, images, ids, mask
         )
         if bcfg.image_feature_pool == "mean_pool":
             feats = pool_hidden(hidden, text_mask, "mean_pool")
         else:
             feats = pool_last_text_token(hidden, text_mask)
         preds = head.apply(
-            {"params": head_params}, feats, states, deterministic=True
+            {"params": trainable["head"]}, feats, states, deterministic=True
         )
         return jnp.mean(jnp.square(preds - actions.astype(preds.dtype)))
 
     argnums = (0, 1) if train_backbone else 0
 
-    def train_step(head_params, params, images, ids, mask, states, actions):
+    def train_step(trainable, params, images, ids, mask, states, actions):
         return jax.value_and_grad(loss, argnums=argnums)(
-            head_params, params, images, ids, mask, states, actions
+            trainable, params, images, ids, mask, states, actions
         )
 
     if mcfg.num_cameras > 1:
@@ -226,10 +239,24 @@ def fastvlm_train_flops(
                 )
             )["params"]
             abstract = lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype)
+            trainable_shape = {
+                "head": jax.tree_util.tree_map(abstract, head_shape)
+            }
+            if lora_rank > 0:
+                from ..io.lora import init_lora
+
+                lora_shape = jax.eval_shape(
+                    lambda: init_lora(
+                        params_shape, lora_rank, jax.random.PRNGKey(2)
+                    )
+                )
+                trainable_shape["lora"] = jax.tree_util.tree_map(
+                    abstract, lora_shape
+                )
             compiled = (
                 jax.jit(train_step)
                 .lower(
-                    jax.tree_util.tree_map(abstract, head_shape),
+                    trainable_shape,
                     jax.tree_util.tree_map(abstract, params_shape),
                     jax.ShapeDtypeStruct(img_shape, dtype),
                     jax.ShapeDtypeStruct((batch, prompt_len), jnp.int32),
