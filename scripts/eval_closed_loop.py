@@ -172,8 +172,12 @@ def _build_token_server(args: ClosedLoopArgs, policy):
         TokenPolicyServer,
     )
 
+    from vla_fastvlm_tpu.model.fastvlm_adapter import prepare_policy_images
+
     model = policy.backbone.model
     params = policy.backbone.params
+    mcfg = policy.backbone.model_config
+    bcfg = policy.backbone.config
     ids, _ = policy.backbone._prep_text([args.task])
     width = ids.shape[1] + args.state_dim
     kwargs = dict(
@@ -182,6 +186,10 @@ def _build_token_server(args: ClosedLoopArgs, policy):
         max_new_tokens=policy.num_action_tokens,  # chunk_size * action_dim
         eos_token_id=-1,
         prefill_batch=args.prefill_batch,
+        # Letterbox to the tower resolution INSIDE the admission programs:
+        # the control loop ships raw env-res frames over the host boundary,
+        # not 1024px upscales (serving/token_policy_server.py).
+        image_prep=lambda imgs: prepare_policy_images(imgs, mcfg, bcfg),
     )
     if args.serving == "dense":
         server = GenerationServer(model, params, **kwargs)
@@ -349,6 +357,17 @@ def main(args: ClosedLoopArgs) -> None:
         "actions_per_sec": round(total_actions / elapsed, 2),
         "p50_control_latency_ms": round(float(np.median(deltas)) * 1e3, 2),
     }
+    if hasattr(policy, "server_programs"):  # TokenPolicyServer bridge
+        # Decode-stack decomposition (serving/token_policy_server.py): how
+        # many dispatched device programs each control tick cost on average
+        # (RTT units on the tunnel) and the logical decode-tick count.
+        summary["control_ticks"] = policy.control_ticks
+        summary["server_programs_per_control_tick"] = round(
+            policy.server_programs / max(policy.control_ticks, 1), 2
+        )
+        summary["server_ticks_per_control_tick"] = round(
+            policy.server_ticks / max(policy.control_ticks, 1), 2
+        )
     print(json.dumps(summary))
 
 

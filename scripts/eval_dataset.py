@@ -42,6 +42,11 @@ class EvalArgs:
     synthetic_image_size: int = 64
     state_dim: int = 14
     action_dim: int = 14
+    # Must match the training run's --seed: the synthetic source generates
+    # its records FROM this seed, so a mismatch silently evaluates a
+    # different random dataset (the noise floor — synthetic actions are IID
+    # noise). scripts/train.py defaults to 42; so does this.
+    seed: int = 42
     device: Optional[str] = None
 
 
@@ -52,11 +57,17 @@ def _build_dataset(args: EvalArgs):
             image_hw=(args.synthetic_image_size, args.synthetic_image_size),
             state_dim=args.state_dim,
             action_dim=args.action_dim,
+            seed=args.seed,
         )
         if args.synthetic_data
         else None
     )
-    resolved_split = args.split
+    # With an in-memory synthetic source the split arg is ignored
+    # (AlohaDataset serves the source records directly) — label the output
+    # honestly: these are the SAME records training saw (memorization MSE;
+    # synthetic actions are IID noise, so a held-out split would measure
+    # only the noise floor).
+    resolved_split = "synthetic(train-records)" if args.synthetic_data else args.split
 
     def make(split):
         if args.streaming and not args.synthetic_data:

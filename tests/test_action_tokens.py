@@ -222,6 +222,64 @@ class TestTokenPolicyServing:
         got = spec.forward(batch["images"], batch["states"], batch["tasks"])
         np.testing.assert_array_equal(got, ref)
 
+    def test_image_prep_matches_host_letterbox(self):
+        """Round-5 raw-frame admission (closed-loop tunnel-traffic fix):
+        servers built with ``image_prep=prepare_policy_images`` letterbox
+        INSIDE the jitted admission programs, so the TokenPolicyServer
+        submits raw env-resolution frames. Must be bit-identical to the
+        fallback path (host-side jitted letterbox, tower-size submission)
+        on dense, paged, and speculative-paged servers."""
+        from vla_fastvlm_tpu.model.fastvlm_adapter import prepare_policy_images
+        from vla_fastvlm_tpu.serving import (
+            GenerationServer,
+            PagedGenerationServer,
+            SpeculativePagedGenerationServer,
+            TokenPolicyServer,
+        )
+
+        policy = FastVLMTokenPolicy(_tiny_config())
+        batch = _batch(b=3, seed=6)
+        batch["tasks"] = ["pick", "insert the peg", "push"]
+        ids, _ = policy.backbone._prep_text(
+            policy.processor.prepare_tasks(batch["tasks"], batch_size=3)
+        )
+        width = ids.shape[1] + policy.config.state_dim
+        mcfg = policy.backbone.model_config
+        bcfg = policy.backbone.config
+        model, params = policy.backbone.model, policy.backbone.params
+        kwargs = dict(
+            num_slots=2,
+            prompt_len=width,
+            max_new_tokens=policy.config.action_dim,
+            eos_token_id=-1,
+            prefill_batch=2,
+        )
+        prep = lambda imgs: prepare_policy_images(imgs, mcfg, bcfg)  # noqa: E731
+
+        ref = TokenPolicyServer(
+            policy, PagedGenerationServer(model, params, page_size=4, **kwargs)
+        ).forward(batch["images"], batch["states"], batch["tasks"])
+
+        for server in (
+            GenerationServer(model, params, image_prep=prep, **kwargs),
+            PagedGenerationServer(
+                model, params, page_size=4, image_prep=prep, **kwargs
+            ),
+            PagedGenerationServer(  # chunked admission preps the image chunk
+                model, params, page_size=4, prefill_chunk_tokens=8,
+                image_prep=prep,
+                # chunked buckets must be chunk-multiples; submit() pads up
+                **{**kwargs, "prompt_len": -(-width // 8) * 8},
+            ),
+            SpeculativePagedGenerationServer(  # draft prefill preps too
+                model, params, model, params, k=2, page_size=4,
+                image_prep=prep, **kwargs,
+            ),
+        ):
+            bridge = TokenPolicyServer(policy, server)
+            got = bridge.forward(batch["images"], batch["states"], batch["tasks"])
+            np.testing.assert_array_equal(got, ref)
+
     def test_server_guards(self):
         from vla_fastvlm_tpu.serving import PagedGenerationServer, TokenPolicyServer
 

@@ -36,6 +36,31 @@ class TestShardedClosedLoop:
         assert summary["mean_length"] == 2.0
 
 
+class TestTokenServingClosedLoop:
+    @pytest.mark.parametrize("serving", ["paged", "spec-paged"])
+    def test_eval_closed_loop_token_serving_runs(self, serving, capsys):
+        """--action-head token --serving paged|spec-paged drives the
+        TokenPolicyServer end to end from the CLI, including raw-frame
+        admission (image_prep letterboxes inside the servers' jitted
+        prefill — the closed-loop tunnel-traffic fix)."""
+        import json
+
+        import eval_closed_loop as ecl
+
+        args = ecl.ClosedLoopArgs(
+            model_id="fastvlm-tiny", state_dim=4, action_dim=4,
+            num_envs=3, max_steps=2, image_size=64,
+            action_head="token", serving=serving,
+            num_slots=2, prefill_batch=2,
+            draft_model_id="fastvlm-tiny", spec_k=2,
+        )
+        ecl.main(args)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        summary = json.loads(out)
+        assert summary["total_actions"] == 6
+        assert summary["mean_length"] == 2.0
+
+
 class TestEvalSplitFallback:
     def make_args(self, **kw):
         defaults = dict(

@@ -143,6 +143,7 @@ def load_policy_from_checkpoint(
         )
         policy = FastVLMPolicy(policy_cfg)
 
+    device = get_best_device(device_preference)
     if strict:
         expected = set(flatten_params(jax.device_get(policy.params)))
         got = set(flatten_params(params))
@@ -153,12 +154,16 @@ def load_policy_from_checkpoint(
                 "Checkpoint state dict does not match policy parameters. "
                 f"missing(sample)={missing} unexpected(sample)={unexpected}"
             )
-        policy.load_params(params)
     else:
-        merged = _merge_partial(jax.device_get(policy.params), params)
-        policy.load_params(merged)
+        params = _merge_partial(jax.device_get(policy.params), params)
+    # Place the loaded tree on the device ONCE. safetensors loads host
+    # numpy; leaving numpy leaves in ``policy.params`` makes EVERY jitted
+    # call re-upload the full tree (a 0.5B eval loop spends ~minutes/batch
+    # on the tunnel re-shipping ~GBs — measured round 5: eval_dataset hit
+    # its 30-min timeout on 16 batches before this fix).
+    from ..device import place_params
 
-    device = get_best_device(device_preference)
+    policy.load_params(place_params(params, device))
     return policy, device
 
 

@@ -194,6 +194,7 @@ class GenerationServer:
         seed: int = 0,
         lora=None,
         cache_slack: int = 0,
+        image_prep=None,
     ) -> None:
         """``mesh``: optional TP mesh — parameters and the KV cache (kv heads
         over ``model``) are placed on it and GSPMD shards every program; use
@@ -217,7 +218,14 @@ class GenerationServer:
         ``cache_slack``: extra cache positions past
         ``image + prompt + max_new_tokens`` — used by the speculative
         subclass, whose rounds write a ``k + 1`` window before rolling the
-        rejected suffix back (``serving/speculative.py``)."""
+        rejected suffix back (``serving/speculative.py``).
+
+        ``image_prep``: optional pure fn applied to submitted images INSIDE
+        the jitted admission program (e.g.
+        ``model/fastvlm_adapter.prepare_policy_images`` — letterbox +
+        normalize to the tower resolution). Lets callers submit raw
+        env-resolution frames so only small arrays cross the host boundary;
+        without it, submitted images must already be tower-sized."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -276,7 +284,12 @@ class GenerationServer:
                 "params": params, "lora": lora
             }
 
+        image_prep_ = image_prep
+        self.image_prep = image_prep
+
         def prefill_batched(params, images, ids, mask, key, lora):
+            if images is not None and image_prep_ is not None:
+                images = image_prep_(images)
             cache_p = init_kv_cache(cfg.text, bp, self._cache_len)
             last_logits, _, cache_p, _, _ = model.apply(
                 _variables(params, lora), images, ids, mask, cache_p,

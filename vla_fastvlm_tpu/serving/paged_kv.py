@@ -285,6 +285,7 @@ class PagedGenerationServer:
         prefill_chunk_tokens: int = 0,
         lora=None,
         cache_slack: int = 0,
+        image_prep=None,
     ) -> None:
         """``mesh``: optional TP mesh (``make_mesh(data=1, model=N)``) —
         parameters TP-shard Megatron-style and the page pools shard over kv
@@ -330,7 +331,13 @@ class PagedGenerationServer:
         (optionally quantized) base — one tree applies to every request; a
         LIST of trees enables multi-LoRA (``submit(lora_index=i)``; None
         rows take the zeros base adapter). The prefix-cache key includes
-        the adapter index, so tenants never share cached prompt pages."""
+        the adapter index, so tenants never share cached prompt pages.
+
+        ``image_prep``: optional pure fn applied to submitted images INSIDE
+        the jitted admission programs (whole-prompt prefill AND the chunked
+        path's image chunk) — see ``GenerationServer``. The prefix-cache
+        key hashes the RAW submitted bytes, which is exact (``image_prep``
+        is deterministic)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -489,6 +496,9 @@ class PagedGenerationServer:
                 "params": params, "lora": lora
             }
 
+        image_prep_ = image_prep
+        self.image_prep = image_prep
+
         def prefill_batched(params, images, ids, mask, key, lora):
             """Admission-batch prefill -> ((bp,) tokens, cache-rows dict).
 
@@ -504,6 +514,8 @@ class PagedGenerationServer:
             """
             from ..models.qwen2 import init_kv_cache
 
+            if images is not None and image_prep_ is not None:
+                images = image_prep_(images)
             cache = init_kv_cache(cfg.text, bp, self._max_len)
             last_logits, _, cache, _, _ = model.apply(
                 _variables(params, lora), images, ids, mask, cache,
@@ -749,6 +761,8 @@ class PagedGenerationServer:
         if self.prefill_chunk_tokens:
 
             def image_chunk(params, images, cache, lora):
+                if image_prep_ is not None:
+                    images = image_prep_(images)
                 return model.apply(
                     _variables(params, lora), images, cache,
                     method=FastVLM.prefill_image_chunk,

@@ -231,8 +231,11 @@ class SpeculativePagedGenerationServer(PagedGenerationServer):
         self.draft_cache = draft_cache
         bp = self.prefill_batch
         dlen = self._draft_cache_len
+        prep = self.image_prep  # same raw-frame prep as the target side
 
         def draft_prefill(dparams, images, ids, mask):
+            if images is not None and prep is not None:
+                images = prep(images)
             cache_p = init_kv_cache(dcfg.text, bp, dlen)
             _, _, cache_p, _, _ = draft.apply(
                 {"params": dparams}, images, ids, mask, cache_p,

@@ -100,9 +100,21 @@ class TokenPolicyServer:
         )
         imgs_host: Optional[np.ndarray] = None
         if self._multimodal:
-            # One jitted letterbox over the whole tick's frames, fetched once
-            # (the servers take tower-size images).
-            imgs_host = np.asarray(self._letterbox(np.asarray(images, np.float32)))
+            if getattr(self.server, "image_prep", None) is not None:
+                # The server letterboxes INSIDE its admission programs:
+                # submit raw env-resolution frames, so the host boundary
+                # carries B small frames per tick — never the tower-size
+                # (e.g. 1024px) upscaled batch round-tripped through the
+                # tunnel (build the server with image_prep=
+                # prepare_policy_images, as scripts/eval_closed_loop.py
+                # does).
+                imgs_host = np.asarray(images, np.float32)
+            else:
+                # Fallback: one jitted letterbox over the whole tick's
+                # frames, fetched once (the servers take tower-size images).
+                imgs_host = np.asarray(
+                    self._letterbox(np.asarray(images, np.float32))
+                )
 
         outputs: Dict[int, List[int]] = {}
         rid_to_row: Dict[int, int] = {}
