@@ -169,6 +169,24 @@ class TestTrainer:
         a2 = loaded.forward(imgs, states, "t")
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
 
+    def test_loaded_params_are_device_resident(self, trained):
+        """load_policy_from_checkpoint must device_put the loaded tree ONCE:
+        safetensors yields host numpy, and numpy leaves in policy.params
+        make every jitted call re-upload the full tree (a 0.5B eval loop
+        hit its 30-min timeout on 16 batches over the tunnel — round 5)."""
+        import jax
+
+        from vla_fastvlm_tpu.utils import load_policy_from_checkpoint
+
+        _, _, out, _ = trained
+        ckpt = sorted((out / "checkpoints").glob("step-*"))[-1]
+        loaded, device = load_policy_from_checkpoint(ckpt)
+        leaves = jax.tree_util.tree_leaves(loaded.params)
+        assert leaves
+        for leaf in leaves:
+            assert isinstance(leaf, jax.Array)
+            assert next(iter(leaf.devices())) == device
+
     def test_resume_restores_counters(self, trained):
         policy, trainer, out, _ = trained
         ckpt = sorted(

@@ -61,6 +61,38 @@ class TestTokenServingClosedLoop:
         assert summary["mean_length"] == 2.0
 
 
+class TestTrainEvalSeedAgreement:
+    def test_eval_scores_the_training_records(self, tmp_path, capsys):
+        """train.py and eval_dataset.py must build the SAME synthetic
+        records: the sources generate data FROM the seed, so a seed
+        mismatch silently evaluates a different random dataset and reports
+        the noise floor (~1.0 for IID-normal actions) instead of the
+        memorization MSE (round-5 regression: eval hardcoded seed 0 while
+        train defaulted to 42)."""
+        train_args = train_script.TrainArgs(
+            synthetic_data=True, synthetic_samples=8, synthetic_image_size=32,
+            model_id="fastvlm-tiny", bootstrap_model_id="fastvlm-tiny",
+            # batch 8: train.py auto-meshes over every visible device and
+            # the conftest supplies 8 virtual CPU devices (DP batch split).
+            state_dim=4, action_dim=4, batch_size=8, max_steps=40,
+            num_epochs=100, save_steps=40, eval_steps=100000,
+            logging_steps=20, num_workers=0, learning_rate=1e-2,
+            output_dir=str(tmp_path / "out"),
+        )
+        train_script.main(train_args)
+        eval_args = eval_script.EvalArgs(
+            checkpoint_dir=str(tmp_path / "out" / "checkpoints" / "step-40"),
+            synthetic_data=True, synthetic_samples=8, synthetic_image_size=32,
+            state_dim=4, action_dim=4, batch_size=4, num_workers=0,
+        )
+        eval_script.main(eval_args)
+        out = capsys.readouterr().out
+        mse = float(out.strip().splitlines()[-1].rsplit(":", 1)[1])
+        # Memorization MSE after 40 steps at lr 1e-2 sits far below the
+        # IID-noise floor; a seed mismatch would score ~1.0+.
+        assert mse < 0.5
+
+
 class TestEvalSplitFallback:
     def make_args(self, **kw):
         defaults = dict(
