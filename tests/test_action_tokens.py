@@ -280,6 +280,53 @@ class TestTokenPolicyServing:
             got = bridge.forward(batch["images"], batch["states"], batch["tasks"])
             np.testing.assert_array_equal(got, ref)
 
+    def test_untied_decoder_serves_tokens(self, monkeypatch):
+        """Regression (round-5 7B closed-loop crash): untied presets keep a
+        separate lm_head Dense that the backbone's feature-path init never
+        traced, so the owned tree had NO lm_head leaf and every logits
+        surface (generation servers, this policy) died with KeyError at 7B
+        while tied tiny/0.5B worked. The backbone now inits through
+        forward_logits when untied. Pin at tiny scale with an untied
+        resolver."""
+        import vla_fastvlm_tpu.model.fastvlm_adapter as adapter_mod
+
+        real_resolve = adapter_mod.resolve_fastvlm_config
+
+        def untied_resolve(*args, **kwargs):
+            mcfg, raw = real_resolve(*args, **kwargs)
+            return (
+                mcfg.replace(text=mcfg.text.replace(tie_word_embeddings=False)),
+                raw,
+            )
+
+        monkeypatch.setattr(
+            adapter_mod, "resolve_fastvlm_config", untied_resolve
+        )
+        from vla_fastvlm_tpu.serving import GenerationServer, TokenPolicyServer
+
+        policy = FastVLMTokenPolicy(_tiny_config())
+        assert "lm_head" in policy.backbone.params
+        batch = _batch(b=2, seed=7)
+        ref = np.asarray(
+            policy.forward(batch["images"], batch["states"], batch["tasks"])
+        )
+        ids, _ = policy.backbone._prep_text(
+            policy.processor.prepare_tasks(batch["tasks"], batch_size=2)
+        )
+        server = GenerationServer(
+            policy.backbone.model,
+            policy.backbone.params,
+            num_slots=2,
+            prompt_len=ids.shape[1] + policy.config.state_dim,
+            max_new_tokens=policy.config.action_dim,
+            eos_token_id=-1,
+            prefill_batch=2,
+        )
+        got = TokenPolicyServer(policy, server).forward(
+            batch["images"], batch["states"], batch["tasks"]
+        )
+        np.testing.assert_array_equal(got, ref)
+
     def test_server_guards(self):
         from vla_fastvlm_tpu.serving import PagedGenerationServer, TokenPolicyServer
 

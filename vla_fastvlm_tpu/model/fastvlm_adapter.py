@@ -284,9 +284,29 @@ class FastVLMBackbone:
             params = self._init_params()
         return params
 
+    def _init_method(self):
+        """Init through ``forward_logits`` when the decoder is untied.
+
+        Untied presets (7B) keep a separate ``lm_head`` Dense that the
+        feature path (``__call__``) never touches, and Flax only creates
+        params for modules the init trace uses — so a feature-only init
+        yields a tree with NO ``lm_head`` leaf and every logits surface
+        (generation servers, the action-token policy) dies with a KeyError
+        at 7B while tied presets (tiny/0.5B/1.5B) work. ``forward_logits``
+        traces the identical tree plus the head. Costs untied feature-only
+        policies the head's storage (~0.5 GB int8 at 7B) — the backbone
+        owns the FULL FastVLM by contract."""
+        from ..models.fastvlm import FastVLM
+
+        if self.model_config.text.tie_word_embeddings:
+            return None  # __call__ already creates every param
+        return FastVLM.forward_logits
+
     def _init_params(self):
         variables = self.model.init(
-            jax.random.PRNGKey(self.config.seed), *self._dummy_inputs()
+            jax.random.PRNGKey(self.config.seed),
+            *self._dummy_inputs(),
+            method=self._init_method(),
         )
         return variables["params"]
 
@@ -310,9 +330,10 @@ class FastVLMBackbone:
     def _init_shapes(self):
         """Abstract init param tree (no tracing on device)."""
         imgs, ids = self._dummy_inputs()
+        method = self._init_method()
         return jax.eval_shape(
             lambda: self.model.init(
-                jax.random.PRNGKey(self.config.seed), imgs, ids
+                jax.random.PRNGKey(self.config.seed), imgs, ids, method=method
             )["params"]
         )
 
