@@ -68,6 +68,10 @@ class ClosedLoopArgs:
     # decode-serving stack below apply to closed-loop control.
     action_head: str = "mlp"
     action_bins: int = 256
+    # Codebook clip range for the token head (see scripts/train.py: the
+    # +/-1 default expects squashed/normalized actions; widen otherwise).
+    action_token_low: float = -1.0
+    action_token_high: float = 1.0
     # Action chunking (both head families): one forward emits
     # (chunk_size, action_dim); the queue serves n_action_steps of them.
     chunk_size: int = 1
@@ -80,9 +84,16 @@ class ClosedLoopArgs:
     prefill_batch: int = 4
     page_size: int = 16
     kv_cache_quantization: str = "none"
-    # spec-paged only: draft model + lookahead.
+    # spec-paged only: draft model + lookahead. "self" mounts the TARGET's
+    # own params as the draft — every proposal verifies (acceptance = 1),
+    # the measured UPPER bound of speculative closed-loop throughput
+    # (fabricated weights give the ~zero-acceptance LOWER bound; real
+    # checkpoints land in between — docs/VALIDATION.md §4).
     draft_model_id: str = "fastvlm-tiny"
     spec_k: int = 4
+    # Print every control tick's latency as it lands (diagnosing slow
+    # sessions: separates compile ticks from steady-state).
+    log_ticks: bool = False
 
 
 class DummyEnv:
@@ -213,9 +224,16 @@ def _build_token_server(args: ClosedLoopArgs, policy):
 
 def _build_draft(args: ClosedLoopArgs, policy):
     """Vocab-matched multimodal draft at the TARGET's tower resolution
-    (fabricated host-side — identical compute cost to real weights)."""
+    (fabricated host-side — identical compute cost to real weights).
+
+    ``--draft-model-id self``: the target drafts for itself (same model,
+    same params) — greedy verification accepts every window, so the run
+    measures the acceptance=1 upper bound of the speculative server."""
     import jax
     import jax.numpy as jnp
+
+    if args.draft_model_id == "self":
+        return policy.backbone.model, policy.backbone.params
 
     from vla_fastvlm_tpu.device import place_params
     from vla_fastvlm_tpu.io.fabricate import fabricate_like
@@ -305,6 +323,8 @@ def main(args: ClosedLoopArgs) -> None:
             dropout=0.0,
             action_head=args.action_head,
             action_bins=args.action_bins,
+            action_token_low=args.action_token_low,
+            action_token_high=args.action_token_high,
             chunk_size=args.chunk_size,
         )
         if args.action_head == "token":
@@ -339,7 +359,14 @@ def main(args: ClosedLoopArgs) -> None:
     tick_times = []
 
     def on_step(actions, done):
-        tick_times.append(time.perf_counter())
+        now = time.perf_counter()
+        if args.log_ticks:
+            prev = tick_times[-1] if tick_times else t0
+            print(
+                f"[tick {len(tick_times)}] {(now - prev) * 1e3:.0f} ms",
+                flush=True,
+            )
+        tick_times.append(now)
 
     t0 = time.perf_counter()
     result = runner.run(

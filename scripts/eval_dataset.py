@@ -113,17 +113,42 @@ def main(args: EvalArgs) -> None:
         num_workers=args.num_workers,
     )
 
-    total_loss = 0.0
+    # Sample-weighted aggregation over EVERY scalar the policy's loss
+    # reports — "mse" exists for both head families (the reference's metric,
+    # reference eval_dataset.py:69-77); the token policy additionally
+    # reports "token_accuracy" + CE "loss" (fastvla/token_policy.py).
+    totals: dict = {}
     total_samples = 0
+    # Token-head binning floor: the best MSE ANY predictor of discretized
+    # actions can reach is the encode->decode round-trip error of the
+    # targets themselves — report it next to the model's MSE so the two
+    # head families compare honestly (fastvla/action_tokenizer.py).
+    action_tokenizer = getattr(policy, "tokenizer", None)
+    import numpy as np
+
     for batch in dataloader:
         tensor_batch = move_batch_to_device(batch, device)
         outputs = policy.compute_loss(tensor_batch)
         n = batch["actions"].shape[0]
-        total_loss += float(outputs["mse"]) * n
+        for key, value in outputs.items():
+            totals[key] = totals.get(key, 0.0) + float(value) * n
+        if action_tokenizer is not None and hasattr(action_tokenizer, "encode"):
+            acts = np.asarray(batch["actions"], np.float32).reshape(n, -1)
+            rt = action_tokenizer.decode(action_tokenizer.encode(acts))
+            totals["binning_floor_mse"] = totals.get(
+                "binning_floor_mse", 0.0
+            ) + float(np.mean(np.square(rt - acts))) * n
         total_samples += n
 
-    mse = total_loss / max(total_samples, 1)
+    mse = totals.get("mse", 0.0) / max(total_samples, 1)
     print(f"MSE on split '{resolved_split}': {mse:.6f}")
+    extras = {
+        key: round(value / max(total_samples, 1), 6)
+        for key, value in sorted(totals.items())
+        if key != "mse"
+    }
+    if extras:
+        print(f"Additional metrics on split '{resolved_split}': {extras}")
 
 
 if __name__ == "__main__":

@@ -111,6 +111,12 @@ class TrainArgs:
     # --train-backbone since it has no head parameters).
     action_head: str = "mlp"
     action_bins: int = 256
+    # Codebook clip range for the token head. Actions/states are expected
+    # normalized (~N(0,1) after LeRobot MEAN_STD); the default +/-1 range
+    # clips ~32% of an N(0,1) mass — widen (e.g. +/-4) when training on
+    # unsquashed normalized actions or the clipping error floors the MSE.
+    action_token_low: float = -1.0
+    action_token_high: float = 1.0
 
 
 def main(args: TrainArgs) -> None:
@@ -147,6 +153,8 @@ def main(args: TrainArgs) -> None:
         quantization=args.quantization,
         action_head=args.action_head,
         action_bins=args.action_bins,
+        action_token_low=args.action_token_low,
+        action_token_high=args.action_token_high,
         seed=args.seed,
     )
     if args.action_head == "token":

@@ -87,10 +87,49 @@ class TestTrainEvalSeedAgreement:
         )
         eval_script.main(eval_args)
         out = capsys.readouterr().out
-        mse = float(out.strip().splitlines()[-1].rsplit(":", 1)[1])
+        [mse_line] = [
+            l for l in out.strip().splitlines() if l.startswith("MSE on split")
+        ]
+        mse = float(mse_line.rsplit(":", 1)[1])
         # Memorization MSE after 40 steps at lr 1e-2 sits far below the
         # IID-noise floor; a seed mismatch would score ~1.0+.
         assert mse < 0.5
+
+    def test_eval_reports_token_head_metrics(self, tmp_path, capsys):
+        """The head-family quality pair (BASELINE) scores BOTH heads with
+        eval_dataset.py: for the token policy it must surface the CE loss,
+        token accuracy, and the binning floor (the best MSE any predictor
+        of discretized actions can reach) next to the decoded MSE."""
+        train_args = train_script.TrainArgs(
+            synthetic_data=True, synthetic_samples=8, synthetic_image_size=32,
+            model_id="fastvlm-tiny", bootstrap_model_id="fastvlm-tiny",
+            state_dim=4, action_dim=4, batch_size=8, max_steps=10,
+            num_epochs=100, save_steps=10, eval_steps=100000,
+            logging_steps=5, num_workers=0, learning_rate=1e-3,
+            action_head="token", lora_rank=2,
+            output_dir=str(tmp_path / "out"),
+        )
+        train_script.main(train_args)
+        eval_args = eval_script.EvalArgs(
+            checkpoint_dir=str(tmp_path / "out" / "checkpoints" / "step-10"),
+            synthetic_data=True, synthetic_samples=8, synthetic_image_size=32,
+            state_dim=4, action_dim=4, batch_size=4, num_workers=0,
+        )
+        eval_script.main(eval_args)
+        out = capsys.readouterr().out
+        [extra_line] = [
+            l for l in out.strip().splitlines()
+            if l.startswith("Additional metrics")
+        ]
+        extras = eval(extra_line.split(":", 1)[1])  # printed as a dict literal
+        assert set(extras) >= {"loss", "token_accuracy", "binning_floor_mse"}
+        assert 0.0 <= extras["token_accuracy"] <= 1.0
+        # At the default +/-1 codebook range the floor on IID-N(0,1)
+        # synthetic actions is CLIPPING-dominated (~0.18), not the
+        # (range/bins)^2/12 quantization term — exactly what the metric
+        # exists to surface. Widening the range shrinks it (pinned in
+        # test_action_tokens.py's codec tests).
+        assert 0.0 < extras["binning_floor_mse"] < 1.0
 
 
 class TestEvalSplitFallback:
